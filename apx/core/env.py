@@ -1,0 +1,300 @@
+"""Functional active-perception environment API.
+
+The reference (ap_gym) models active perception as a Gymnasium extension:
+``step({"action": a, "prediction": y})`` returns
+``base_reward - loss_fn(y, y*)`` and surfaces the loss/target through info
+(/root/reference/ap_gym/active_perception_env.py:90-121,
+ active_perception_vector_env.py:69-111).
+
+Here the same contract is a *pure function* suitable for jit/vmap/scan/
+shard_map on TPU:
+
+    obs, state, info               = env.reset(key, params)
+    obs, state, reward, term, trunc, info = env.step(key, state, full_action, params)
+
+* ``params`` is a ``flax.struct`` pytree: static config in non-pytree fields,
+  device-resident data (datasets, map banks) in array fields.
+* ``state`` is a pytree carrying everything episode-specific.
+* Batching is ``vmap`` over state/keys; autoreset is mask-based and comes in
+  two modes matching the reference's two observable behaviors:
+    - NEXT_STEP: per-env reset the step after done, reward 0 (Gymnasium
+      SyncVectorEnv semantics used by LIDAR/LightDark).
+    - LOCKSTEP: reset only when *all* envs are done; on the reset step
+      base_reward = 0, terminated = False, and the loss is evaluated against
+      the *new* episode's target (image_perception_module.py:197-202 +
+      active_perception_vector_env.py:84-111).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Callable, Generic, TypeVar
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .losses import LossFn
+from .spaces import ActivePerceptionActionSpace, Space
+
+__all__ = [
+    "APEnv",
+    "APStepResult",
+    "AutoResetMode",
+    "VectorAPEnv",
+    "vmap_vector_env",
+    "rollout",
+]
+
+P = TypeVar("P")  # params pytree
+S = TypeVar("S")  # state pytree
+
+
+class APStepResult(struct.PyTreeNode):
+    """Raw result of an env's ``_step`` before loss composition."""
+
+    obs: Any
+    state: Any
+    base_reward: jax.Array
+    terminated: jax.Array
+    truncated: jax.Array
+    info: dict[str, Any]
+    prediction_target: Any
+
+
+class AutoResetMode(enum.Enum):
+    NEXT_STEP = "next_step"
+    LOCKSTEP = "lockstep"
+    DISABLED = "disabled"
+
+
+class APEnv(Generic[P, S]):
+    """Single-env functional active-perception environment.
+
+    Subclasses implement ``default_params``, ``reset_env``, ``step_env`` and
+    the space/loss accessors. All dynamics functions must be traceable.
+    """
+
+    # ---- static metadata -------------------------------------------------
+    def default_params(self, **overrides) -> P:
+        raise NotImplementedError
+
+    def observation_space(self, params: P) -> Space:
+        raise NotImplementedError
+
+    def inner_action_space(self, params: P) -> Space:
+        raise NotImplementedError
+
+    def prediction_space(self, params: P) -> Space:
+        raise NotImplementedError
+
+    def prediction_target_space(self, params: P) -> Space:
+        raise NotImplementedError
+
+    def action_space(self, params: P) -> ActivePerceptionActionSpace:
+        return ActivePerceptionActionSpace.create(
+            self.inner_action_space(params), self.prediction_space(params)
+        )
+
+    def loss_fn(self, params: P) -> LossFn:
+        raise NotImplementedError
+
+    # ---- dynamics --------------------------------------------------------
+    def reset_env(self, key: jax.Array, params: P) -> tuple[Any, S, dict[str, Any]]:
+        """Returns (obs, state, info)."""
+        raise NotImplementedError
+
+    def step_env(
+        self, key: jax.Array, state: S, action: Any, prediction: Any, params: P
+    ) -> APStepResult:
+        raise NotImplementedError
+
+    def autoreset_env(
+        self, key: jax.Array, old_state: S, params: P
+    ) -> tuple[Any, S, dict[str, Any]]:
+        """Reset used on an *autoreset* step. Defaults to reset_env; envs
+        whose mid-run reset differs from the explicit reset override this
+        (e.g. image localization resamples its target uniformly instead of
+        running the unique-glimpse sampler, image_localization.py:152-156)."""
+        return self.reset_env(key, params)
+
+    def prediction_target_on_reset(self, old_state: S, new_state: S, params: P):
+        """Loss target used on a LOCKSTEP autoreset step. Classification envs
+        return the new episode's label (image_classification.py:113-127);
+        localization envs return the previous episode's target
+        (image_localization.py:151-152)."""
+        raise NotImplementedError
+
+    # ---- template methods (mirror ActivePerceptionEnv.step) --------------
+    def reset(self, key: jax.Array, params: P) -> tuple[Any, S, dict[str, Any]]:
+        return self.reset_env(key, params)
+
+    def step(
+        self, key: jax.Array, state: S, full_action: dict[str, Any], params: P
+    ) -> tuple[Any, S, jax.Array, jax.Array, jax.Array, dict[str, Any]]:
+        """Composite step: reward = base_reward - loss_fn(prediction, target).
+
+        Mirrors active_perception_env.py:101-121 (single) /
+        active_perception_vector_env.py:84-111 (vector): info carries
+        base_reward and prediction.{target, loss}.
+        """
+        r = self.step_env(
+            key, state, full_action["action"], full_action["prediction"], params
+        )
+        loss = self.loss_fn(params)(full_action["prediction"], r.prediction_target)
+        reward = r.base_reward - loss
+        info = {
+            **r.info,
+            "base_reward": r.base_reward,
+            "prediction": {"target": r.prediction_target, "loss": loss},
+        }
+        return r.obs, r.state, reward, r.terminated, r.truncated, info
+
+
+# ---------------------------------------------------------------------------
+# Vectorization
+# ---------------------------------------------------------------------------
+
+
+class VectorState(struct.PyTreeNode):
+    inner: Any
+    prev_done: jax.Array  # (N,) bool
+
+
+@dataclasses.dataclass(frozen=True)
+class VectorAPEnv:
+    """vmap-based vector wrapper with mask autoreset.
+
+    ``reset(key, params)`` and ``step(key, state, actions, params)`` operate on
+    batches of ``num_envs``; both branches (step & reset) are computed and
+    mask-selected, which is the XLA-friendly equivalent of Gymnasium's
+    per-env autoreset.
+    """
+
+    env: APEnv
+    num_envs: int
+    autoreset: AutoResetMode = AutoResetMode.NEXT_STEP
+
+    def reset(self, key: jax.Array, params) -> tuple[Any, VectorState, dict[str, Any]]:
+        keys = jax.random.split(key, self.num_envs)
+        obs, state, info = jax.vmap(self.env.reset, in_axes=(0, None))(keys, params)
+        vstate = VectorState(
+            inner=state, prev_done=jnp.zeros(self.num_envs, dtype=jnp.bool_)
+        )
+        return obs, vstate, info
+
+    def step(
+        self, key: jax.Array, state: VectorState, full_action: dict[str, Any], params
+    ) -> tuple[Any, VectorState, jax.Array, jax.Array, jax.Array, dict[str, Any]]:
+        n = self.num_envs
+        step_keys, reset_keys = jax.random.split(key)
+        step_keys = jax.random.split(step_keys, n)
+        reset_keys = jax.random.split(reset_keys, n)
+
+        loss_fn = self.env.loss_fn(params)
+
+        def raw_step(k, s, a, p):
+            return self.env.step_env(k, s, a, p, params)
+
+        r = jax.vmap(raw_step)(
+            step_keys, state.inner, full_action["action"], full_action["prediction"]
+        )
+
+        if self.autoreset is AutoResetMode.DISABLED:
+            loss = loss_fn(full_action["prediction"], r.prediction_target)
+            reward = r.base_reward - loss
+            info = {
+                **r.info,
+                "base_reward": r.base_reward,
+                "prediction": {"target": r.prediction_target, "loss": loss},
+            }
+            vstate = VectorState(inner=r.state, prev_done=r.terminated | r.truncated)
+            return r.obs, vstate, reward, r.terminated, r.truncated, info
+
+        reset_obs, reset_state, reset_info = jax.vmap(
+            self.env.autoreset_env, in_axes=(0, 0, None)
+        )(reset_keys, state.inner, params)
+
+        if self.autoreset is AutoResetMode.LOCKSTEP:
+            # Reset only when every env is done; loss evaluated against the
+            # NEW target on the reset step (image env semantics, see module
+            # docstring). base_reward = 0, terminated = truncated = False.
+            do_reset = jnp.all(state.prev_done)
+            reset_mask = jnp.broadcast_to(do_reset, (n,))
+        else:  # NEXT_STEP: per-env
+            do_reset = state.prev_done
+            reset_mask = do_reset
+
+        def mask_select(mask, a, b):
+            return jax.tree_util.tree_map(
+                lambda x, y: jnp.where(
+                    mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim)), x, y
+                ),
+                a,
+                b,
+            )
+
+        obs = mask_select(reset_mask, reset_obs, r.obs)
+        new_inner = mask_select(reset_mask, reset_state, r.state)
+        base_reward = jnp.where(reset_mask, 0.0, r.base_reward)
+        terminated = jnp.where(reset_mask, False, r.terminated)
+        truncated = jnp.where(reset_mask, False, r.truncated)
+
+        if self.autoreset is AutoResetMode.LOCKSTEP:
+            # Loss target on the reset step is env-specific (see
+            # APEnv.prediction_target_on_reset).
+            new_target = jax.vmap(
+                lambda so, sn: self.env.prediction_target_on_reset(so, sn, params)
+            )(state.inner, reset_state)
+            pred_target = mask_select(reset_mask, new_target, r.prediction_target)
+            loss = loss_fn(full_action["prediction"], pred_target)
+            reward = base_reward - loss
+        else:
+            pred_target = r.prediction_target
+            loss = loss_fn(full_action["prediction"], pred_target)
+            loss = jnp.where(reset_mask, 0.0, loss)
+            reward = jnp.where(reset_mask, 0.0, base_reward - loss)
+
+        info = mask_select(
+            reset_mask,
+            {**reset_info, **{k: v for k, v in r.info.items() if k not in reset_info}},
+            r.info,
+        ) if set(reset_info) == set(r.info) else r.info
+        info = {
+            **info,
+            "base_reward": base_reward,
+            "prediction": {"target": pred_target, "loss": loss},
+        }
+
+        vstate = VectorState(inner=new_inner, prev_done=terminated | truncated)
+        return obs, vstate, reward, terminated, truncated, info
+
+
+def vmap_vector_env(
+    env: APEnv, num_envs: int, autoreset: AutoResetMode = AutoResetMode.NEXT_STEP
+) -> VectorAPEnv:
+    return VectorAPEnv(env=env, num_envs=num_envs, autoreset=autoreset)
+
+
+def rollout(
+    venv: VectorAPEnv,
+    params,
+    policy_fn: Callable[[jax.Array, Any], dict[str, Any]],
+    key: jax.Array,
+    num_steps: int,
+):
+    """lax.scan rollout: policy_fn(key, obs) -> full_action."""
+    reset_key, scan_key = jax.random.split(key)
+    obs0, state0, _ = venv.reset(reset_key, params)
+
+    def body(carry, k):
+        obs, state = carry
+        pk, sk = jax.random.split(k)
+        act = policy_fn(pk, obs)
+        obs2, state2, reward, term, trunc, info = venv.step(sk, state, act, params)
+        return (obs2, state2), (reward, term, trunc)
+
+    keys = jax.random.split(scan_key, num_steps)
+    (obs_f, state_f), traj = jax.lax.scan(body, (obs0, state0), keys)
+    return obs_f, state_f, traj

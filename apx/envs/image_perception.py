@@ -1,0 +1,228 @@
+"""Shared glimpse-on-image engine (functional core of all image envs).
+
+Behavioral reference: /root/reference/ap_gym/envs/image/image_perception_module.py.
+Key semantics preserved exactly:
+  * action is projected into the unit circle, scaled by max_step_length, added
+    to the normalized position, clipped to [-1, 1]^2 (module.py:206-208),
+  * base_reward = -1e-3 * ||action||_2 of the *raw* action (module.py:209),
+  * episodes terminate when time_step reaches step_limit (module.py:211-212),
+  * obs = {glimpse, glimpse_pos, time_step[, inverted_label]} with
+    time_step = 2 t / step_limit - 1 (module.py:236-251); inverted_label is
+    0/1 at t=0 and the constant 2 afterwards,
+  * start position uniform in [-1, 1]^2, one dataset draw per episode
+    (module.py:120-161).
+
+TPU-first differences: the per-image scipy interpolator loop is replaced by
+the separable-bilinear GEMM kernel in apx.ops.glimpse; the dataset is an
+HBM-resident bank; the current image is carried in env state so the per-step
+path is pure compute with no gathers.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.spaces import Box, DictSpace, Discrete, Image
+from ..data.dataset import ImageDataset
+from ..ops.geometry import project_sphere
+from ..ops.glimpse import extract_glimpse, glimpse_coords, interp_weights, sensor_pos_lim_pixels
+
+__all__ = ["ImagePerceptionParams", "ImagePerceptionState", "ImagePerceptionEngine"]
+
+
+class ImagePerceptionParams(struct.PyTreeNode):
+    """Mirrors ImagePerceptionConfig (module.py:20-34)."""
+
+    dataset: ImageDataset
+    sensor_size: tuple[int, int] = struct.field(pytree_node=False, default=(5, 5))
+    sensor_scale: float = struct.field(pytree_node=False, default=1.0)
+    max_step_length: tuple[float, float] = struct.field(
+        pytree_node=False, default=(0.2, 0.2)
+    )
+    step_limit: int = struct.field(pytree_node=False, default=16)
+    randomly_invert_labels: bool = struct.field(pytree_node=False, default=False)
+    unique_sampling_max_grid_cell_size_rel: float = struct.field(
+        pytree_node=False, default=0.2
+    )
+    unique_sampling_top_k: int = struct.field(pytree_node=False, default=10)
+
+
+class ImagePerceptionState(struct.PyTreeNode):
+    image: jax.Array  # (H, W, C) f32 — current episode's image
+    label: jax.Array  # () int32
+    data_index: jax.Array  # () int32
+    pos: jax.Array  # (2,) f32, normalized (x, y)
+    time: jax.Array  # () int32
+    label_inverted: jax.Array  # () bool
+
+
+class ImagePerceptionEngine:
+    """Stateless helper implementing the shared mechanics."""
+
+    @staticmethod
+    def observation_space_dict(params: ImagePerceptionParams) -> dict[str, Any]:
+        s0, s1 = params.sensor_size
+        h, w, c = params.dataset.image_shape
+        d = {
+            "glimpse": Image.create(width=s1, height=s0, channels=c),
+            "glimpse_pos": Box(low=-1.0, high=1.0, shape=(2,)),
+            "time_step": Box(low=-1.0, high=1.0, shape=()),
+        }
+        if params.randomly_invert_labels:
+            d["inverted_label"] = Discrete(3)
+        return d
+
+    @staticmethod
+    def observation_space(params: ImagePerceptionParams) -> DictSpace:
+        return DictSpace(ImagePerceptionEngine.observation_space_dict(params))
+
+    @staticmethod
+    def inner_action_space(params: ImagePerceptionParams) -> Box:
+        return Box(low=-1.0, high=1.0, shape=(2,))
+
+    @staticmethod
+    def reset(key: jax.Array, params: ImagePerceptionParams) -> ImagePerceptionState:
+        k_idx, k_inv, k_pos = jax.random.split(key, 3)
+        idx = jax.random.randint(k_idx, (), 0, params.dataset.length, dtype=jnp.int32)
+        image, label = params.dataset.fetch(idx)
+        if params.randomly_invert_labels:
+            inverted = jax.random.randint(k_inv, (), 0, 2) == 1
+            label = jnp.where(
+                inverted, params.dataset.num_classes - label - 1, label
+            ).astype(jnp.int32)
+        else:
+            inverted = jnp.zeros((), dtype=jnp.bool_)
+        pos = jax.random.uniform(k_pos, (2,), minval=-1.0, maxval=1.0)
+        return ImagePerceptionState(
+            image=image,
+            label=label,
+            data_index=idx,
+            pos=pos.astype(jnp.float32),
+            time=jnp.zeros((), dtype=jnp.int32),
+            label_inverted=inverted,
+        )
+
+    @staticmethod
+    def from_external_draws(
+        image: jax.Array,
+        label: jax.Array,
+        data_index: jax.Array,
+        pos: jax.Array,
+        label_inverted: jax.Array,
+    ) -> ImagePerceptionState:
+        """Build a reset state from host-provided RNG draws (compat/parity
+        mode reproduces the reference's NumPy PCG64 draw sequence)."""
+        return ImagePerceptionState(
+            image=image.astype(jnp.float32),
+            label=label.astype(jnp.int32),
+            data_index=data_index.astype(jnp.int32),
+            pos=pos.astype(jnp.float32),
+            time=jnp.zeros((), dtype=jnp.int32),
+            label_inverted=label_inverted.astype(jnp.bool_),
+        )
+
+    @staticmethod
+    def move(
+        state: ImagePerceptionState, action: jax.Array, params: ImagePerceptionParams
+    ) -> tuple[ImagePerceptionState, jax.Array, jax.Array]:
+        """Returns (new_state, base_reward, terminated). module.py:203-212."""
+        step = jnp.asarray(params.max_step_length, dtype=jnp.float32) * project_sphere(
+            action
+        )
+        pos = jnp.clip(state.pos + step, -1.0, 1.0)
+        base_reward = -jnp.linalg.norm(action, axis=-1) * 1e-3
+        time = state.time + 1
+        terminated = time >= params.step_limit
+        return state.replace(pos=pos, time=time), base_reward, terminated
+
+    @staticmethod
+    def get_glimpse(
+        state: ImagePerceptionState, pos: jax.Array, params: ImagePerceptionParams
+    ) -> jax.Array:
+        return extract_glimpse(
+            state.image, pos, params.sensor_size, params.sensor_scale
+        )
+
+    @staticmethod
+    def observe(
+        state: ImagePerceptionState, params: ImagePerceptionParams
+    ) -> dict[str, jax.Array]:
+        obs = {
+            "glimpse": ImagePerceptionEngine.get_glimpse(state, state.pos, params),
+            "glimpse_pos": state.pos.astype(jnp.float32),
+            "time_step": (
+                state.time.astype(jnp.float32) / params.step_limit * 2.0 - 1.0
+            ),
+        }
+        if params.randomly_invert_labels:
+            obs["inverted_label"] = jnp.where(
+                state.time > 0, 2, state.label_inverted.astype(jnp.int32)
+            )
+        return obs
+
+    @staticmethod
+    def info(state: ImagePerceptionState) -> dict[str, jax.Array]:
+        return {"index": state.data_index}
+
+    # ------------------------------------------------------------------
+    # Unique-target sampling (image_localization reset targets,
+    # module.py:253-292): a grid of candidate positions, pairwise-MSE
+    # uniqueness score over their glimpses, uniform pick among top-k, jitter.
+    # ------------------------------------------------------------------
+    @staticmethod
+    def candidate_grid(params: ImagePerceptionParams) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Static (P, 2) candidate positions and (2,) max cell size."""
+        import numpy as np
+
+        h, w, _ = params.dataset.image_shape
+        s0, s1 = params.sensor_size
+        eff = np.array([s0, s1]) * params.sensor_scale
+        lim = np.array(
+            [(w - 1) / 2 - (eff[0] - 1) / 2, (h - 1) / 2 - (eff[1] - 1) / 2]
+        )
+        sensor_size_norm = eff / lim
+        max_cell = sensor_size_norm * params.unique_sampling_max_grid_cell_size_rel
+        counts = np.ceil(2.0 / max_cell).astype(int)
+        grid = np.stack(
+            np.meshgrid(
+                np.linspace(-1, 1, counts[0]),
+                np.linspace(-1, 1, counts[1]),
+                indexing="ij",
+            ),
+            axis=-1,
+        ).reshape(-1, 2)
+        return jnp.asarray(grid, dtype=jnp.float32), jnp.asarray(
+            max_cell, dtype=jnp.float32
+        )
+
+    @staticmethod
+    def sample_unique_glimpse_position(
+        key: jax.Array, state: ImagePerceptionState, params: ImagePerceptionParams
+    ) -> jax.Array:
+        """Single-env unique-target draw. The pairwise uniqueness score is a
+        Gram-matrix computation that runs on the MXU:
+        mse(a,b) = (|a|^2 + |b|^2 - 2 a.b) / d."""
+        candidates, max_cell = ImagePerceptionEngine.candidate_grid(params)
+        p = candidates.shape[0]
+        glimpses = jax.vmap(
+            lambda pos: ImagePerceptionEngine.get_glimpse(state, pos, params)
+        )(candidates)
+        flat = glimpses.reshape(p, -1)
+        d = flat.shape[-1]
+        sq = jnp.sum(flat * flat, axis=-1)
+        gram = flat @ flat.T
+        diff = (sq[:, None] + sq[None, :] - 2.0 * gram) / d
+        diff = diff + jnp.diag(jnp.full((p,), jnp.inf, dtype=diff.dtype))
+        uniqueness = jnp.min(diff, axis=-1)
+        _, top_idx = jax.lax.top_k(uniqueness, params.unique_sampling_top_k)
+        k_sel, k_jit = jax.random.split(key)
+        sel = jax.random.randint(k_sel, (), 0, params.unique_sampling_top_k)
+        base = candidates[top_idx[sel]]
+        jitter = jax.random.uniform(
+            k_jit, (2,), minval=-max_cell, maxval=max_cell
+        )
+        return jnp.clip(base + jitter, -1.0, 1.0).astype(jnp.float32)

@@ -1,0 +1,2 @@
+from .geometry import normalize_into_unit_ball, project_sphere
+from .glimpse import extract_glimpse, extract_glimpse_batch

@@ -1,0 +1,120 @@
+"""Batched glimpse extraction — the hot kernel of every image env.
+
+The reference builds one scipy ``RegularGridInterpolator`` per image per
+episode and evaluates it in a per-env Python loop
+(/root/reference/ap_gym/envs/image/image_perception_module.py:154-157,
+294-331). That loop is why the reference scales *negatively* with env count.
+
+TPU-native design: the sensing grid is axis-aligned, so bilinear
+interpolation is **separable** — a glimpse is two small dense matmuls:
+
+    glimpse = W_rows @ image @ W_cols        (per env, batched via vmap)
+
+where ``W_rows[i, h] = relu(1 - |row_coord_i - h|)`` is exactly the linear
+interpolation hat. This turns the entire operation into MXU-friendly batched
+GEMMs with zero gathers and no data-dependent shapes.
+
+Coordinate conventions replicate image_perception_module.py:294-331 and
+:419-423 exactly:
+  * positions are normalized (x, y) in [-1, 1]^2,
+  * sensor_pos_lim_pixels = ([W, H] - 1)/2 - (effective_sensor - 1)/2,
+  * sample row i / col j offsets are (i - (s-1)/2) * sensor_scale,
+  * output clipped to [0, 1], float32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "interp_weights",
+    "glimpse_coords",
+    "extract_glimpse",
+    "extract_glimpse_batch",
+    "sensor_pos_lim_pixels",
+]
+
+
+def sensor_pos_lim_pixels(
+    image_hw: tuple[int, int], sensor_size: tuple[int, int], sensor_scale: float
+) -> jnp.ndarray:
+    """(2,) array: position limit in pixels for (x, y), such that pos_norm = ±1
+    keeps the effective sensor fully inside the image
+    (image_perception_module.py:419-423)."""
+    h, w = image_hw
+    eff = jnp.array(
+        [sensor_size[0] * sensor_scale, sensor_size[1] * sensor_scale],
+        dtype=jnp.float32,
+    )
+    return (jnp.array([w, h], dtype=jnp.float32) - 1.0) / 2.0 - (eff - 1.0) / 2.0
+
+
+def interp_weights(coords: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(s, size) linear-interpolation weight matrix for sample coordinates
+    ``coords`` (in array-index units) on a unit-spaced grid of ``size`` points.
+
+    Each row has at most two non-zeros: the bilinear hat
+    ``max(0, 1 - |c - k|)``. Coordinates are clipped to [0, size-1]."""
+    c = jnp.clip(coords.astype(jnp.float32), 0.0, float(size - 1))
+    grid = jax.lax.broadcasted_iota(jnp.float32, (coords.shape[0], size), 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(c[:, None] - grid))
+
+
+def glimpse_coords(
+    pos_norm: jnp.ndarray,
+    image_hw: tuple[int, int],
+    sensor_size: tuple[int, int],
+    sensor_scale: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Row / col sample coordinates (in array-index units) of the sensing grid
+    centered at normalized position ``pos_norm`` = (x, y)."""
+    h, w = image_hw
+    s0, s1 = sensor_size
+    lim = sensor_pos_lim_pixels(image_hw, sensor_size, sensor_scale)
+    x_pix = pos_norm[0] * lim[0] + (w - 1) / 2.0
+    y_pix = pos_norm[1] * lim[1] + (h - 1) / 2.0
+    off0 = (jnp.arange(s0, dtype=jnp.float32) - (s0 - 1) / 2.0) * sensor_scale
+    off1 = (jnp.arange(s1, dtype=jnp.float32) - (s1 - 1) / 2.0) * sensor_scale
+    rows = y_pix + off0  # sensing grid axis 0 is the y/row axis (module.py:294-311)
+    cols = x_pix + off1
+    return rows, cols
+
+
+@functools.partial(jax.jit, static_argnames=("sensor_size", "sensor_scale"))
+def extract_glimpse(
+    image: jnp.ndarray,
+    pos_norm: jnp.ndarray,
+    sensor_size: tuple[int, int],
+    sensor_scale: float = 1.0,
+) -> jnp.ndarray:
+    """Extract one (s0, s1, C) glimpse from an (H, W, C) image at normalized
+    position (x, y). Pure function of its inputs; differentiable."""
+    h, w, c = image.shape
+    rows, cols = glimpse_coords(pos_norm, (h, w), sensor_size, sensor_scale)
+    w_rows = interp_weights(rows, h)  # (s0, H)
+    w_cols = interp_weights(cols, w)  # (s1, W)
+    # (s0, H) @ (H, W*C) -> (s0, W*C); then per-channel (s0, W) @ (W, s1).
+    # HIGHEST precision: glimpses are observations, bf16 MXU passes would put
+    # ~3e-3 noise on them; these GEMMs are tiny so full f32 costs nothing.
+    img_f = image.astype(jnp.float32)
+    tmp = jnp.einsum(
+        "sh,hwc->swc", w_rows, img_f, precision=jax.lax.Precision.HIGHEST
+    )
+    out = jnp.einsum(
+        "swc,tw->stc", tmp, w_cols, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def extract_glimpse_batch(
+    images: jnp.ndarray,
+    pos_norm: jnp.ndarray,
+    sensor_size: tuple[int, int],
+    sensor_scale: float = 1.0,
+) -> jnp.ndarray:
+    """(N, H, W, C) x (N, 2) -> (N, s0, s1, C), batched GEMMs on the MXU."""
+    fn = lambda img, pos: extract_glimpse(img, pos, sensor_size, sensor_scale)
+    return jax.vmap(fn)(images, pos_norm)

@@ -1,0 +1,55 @@
+import os
+import sys
+
+# Force CPU with 8 virtual devices so multi-chip sharding tests run anywhere.
+# The container's sitecustomize force-registers the axon TPU plugin and
+# overrides JAX_PLATFORMS, so we override back via jax.config (this also
+# avoids the slow axon relay handshake at interpreter start).
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_PATH = "/root/reference"
+
+
+def load_reference_ap_gym():
+    """Import the reference implementation for golden-parity tests.
+
+    The container lacks shapely (used only by the reference's LIDAR env); a
+    minimal stub lets the package import. Returns None if unavailable.
+    """
+    import importlib
+    import types
+
+    if "ap_gym" in sys.modules:
+        return sys.modules["ap_gym"]
+    if not os.path.isdir(os.path.join(REFERENCE_PATH, "ap_gym")):
+        return None
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    try:
+        import shapely  # noqa: F401
+    except ImportError:
+        stub = types.ModuleType("shapely")
+        for name in (
+            "union_all",
+            "box",
+            "LineString",
+            "Point",
+            "MultiPoint",
+            "MultiLineString",
+        ):
+            setattr(stub, name, type(name, (), {}))
+        sys.modules["shapely"] = stub
+    try:
+        return importlib.import_module("ap_gym")
+    except Exception:
+        return None

@@ -1,0 +1,103 @@
+"""Core env contract: jit/vmap stepping, autoreset modes, reward composition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apx.core import AutoResetMode, vmap_vector_env
+from apx.data import make_circle_square_bank
+from apx.envs import ImageClassificationEnv
+
+
+def make_env(n=4, step_limit=4, autoreset=AutoResetMode.LOCKSTEP):
+    ds = make_circle_square_bank((15, 15))
+    env = ImageClassificationEnv(dataset=ds, step_limit=step_limit)
+    params = env.default_params()
+    venv = vmap_vector_env(env, n, autoreset)
+    return env, params, venv
+
+
+def test_reward_composition():
+    env, params, venv = make_env()
+    key = jax.random.PRNGKey(0)
+    obs, state, info = jax.jit(venv.reset)(key, params)
+    act = {"action": jnp.zeros((4, 2)), "prediction": jnp.zeros((4, 2))}
+    obs, state, reward, term, trunc, info = jax.jit(venv.step)(key, state, act, params)
+    # zero action => base_reward 0; uniform logits => normalized CE loss == 1
+    np.testing.assert_allclose(np.asarray(info["base_reward"]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(info["prediction"]["loss"]), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(reward), -1.0, rtol=1e-6)
+
+
+def test_action_movement_and_termination():
+    env, params, venv = make_env(n=2, step_limit=3)
+    key = jax.random.PRNGKey(1)
+    obs, state, _ = venv.reset(key, params)
+    p0 = np.asarray(obs["glimpse_pos"])
+    act = {"action": jnp.ones((2, 2)) * 2.0, "prediction": jnp.zeros((2, 2))}
+    obs, state, reward, term, trunc, info = venv.step(key, state, act, params)
+    p1 = np.asarray(obs["glimpse_pos"])
+    # action (2,2) is projected onto the unit circle -> step 0.2/sqrt(2) per axis
+    expected = np.clip(p0 + 0.2 / np.sqrt(2), -1, 1)
+    np.testing.assert_allclose(p1, expected, atol=1e-6)
+    # base reward uses the raw action norm
+    np.testing.assert_allclose(
+        np.asarray(info["base_reward"]), -np.linalg.norm([2.0, 2.0]) * 1e-3, rtol=1e-5
+    )
+    assert not np.any(np.asarray(term))
+    for _ in range(2):
+        obs, state, reward, term, trunc, info = venv.step(key, state, act, params)
+    assert np.all(np.asarray(term))
+
+
+def test_lockstep_autoreset():
+    env, params, venv = make_env(n=2, step_limit=2)
+    key = jax.random.PRNGKey(2)
+    obs, state, _ = venv.reset(key, params)
+    act = {"action": jnp.zeros((2, 2)), "prediction": jnp.zeros((2, 2))}
+    ks = jax.random.split(key, 4)
+    obs, state, r1, term1, _, _ = venv.step(ks[0], state, act, params)
+    obs, state, r2, term2, _, _ = venv.step(ks[1], state, act, params)
+    assert np.all(np.asarray(term2))
+    # next step is the lockstep reset: terminated False, base_reward 0,
+    # loss evaluated against the new episode's label
+    obs, state, r3, term3, _, info3 = venv.step(ks[2], state, act, params)
+    assert not np.any(np.asarray(term3))
+    np.testing.assert_allclose(np.asarray(info3["base_reward"]), 0.0)
+    np.testing.assert_allclose(np.asarray(r3), -1.0, rtol=1e-6)
+    t = np.asarray(obs["time_step"])
+    np.testing.assert_allclose(t, -1.0)  # time reset to 0 -> normalized -1
+
+
+def test_scan_rollout_jit():
+    from apx.core import rollout
+
+    env, params, venv = make_env(n=8, step_limit=4)
+
+    def policy(key, obs):
+        return {
+            "action": jax.random.uniform(key, (8, 2), minval=-1, maxval=1),
+            "prediction": jnp.zeros((8, 2)),
+        }
+
+    fn = jax.jit(lambda key: rollout(venv, params, policy, key, 16))
+    obs_f, state_f, (reward, term, trunc) = fn(jax.random.PRNGKey(3))
+    assert reward.shape == (16, 8)
+    # each env terminates every 4 steps in lockstep
+    assert int(np.asarray(term).sum()) == 16 / 4 * 8 - 8  # last reset step pending
+
+
+def test_vmap_invariance():
+    """Env i of an N-batch must evolve identically regardless of N."""
+    ds = make_circle_square_bank((15, 15))
+    env = ImageClassificationEnv(dataset=ds, step_limit=4)
+    params = env.default_params()
+    key = jax.random.PRNGKey(42)
+    keys = jax.random.split(key, 8)
+
+    obs1, st1, _ = jax.vmap(env.reset, in_axes=(0, None))(keys[:2], params)
+    obs2, st2, _ = jax.vmap(env.reset, in_axes=(0, None))(keys, params)
+    np.testing.assert_array_equal(
+        np.asarray(obs1["glimpse"]), np.asarray(obs2["glimpse"])[:2]
+    )
+    np.testing.assert_array_equal(np.asarray(st1.label), np.asarray(st2.label)[:2])
