@@ -1,6 +1,8 @@
 from .image_classification import ImageClassificationEnv
+from .image_localization import ImageLocalizationEnv, ImageLocalizationState
 from .image_perception import (
     ImagePerceptionEngine,
     ImagePerceptionParams,
     ImagePerceptionState,
 )
+from .light_dark import LightDarkEnv, LightDarkParams, LightDarkState
