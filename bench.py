@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""apx benchmark harness.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric: env-steps/s of the jitted vectorized CircleSquare
+classification env (the reference's CPU-runnable flagship; see BASELINE.md).
+vs_baseline is relative to the reference's best measured throughput on this
+container's CPU (2,200 env-steps/s at N=256 — its *best* N; the reference
+scales negatively beyond that, image_perception_module.py:294-331).
+
+Run: python bench.py [--num-envs 4096] [--steps 256] [--env circle_square]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_env(venv, params, num_steps: int, key) -> float:
+    """Returns env-steps/s of a jitted scan rollout with on-device random
+    actions (no host transfers in the timed region)."""
+    n = venv.num_envs
+    act_space = venv.env.inner_action_space(params)
+    pred_space = venv.env.prediction_space(params)
+
+    def policy(k, obs):
+        ka, kp = jax.random.split(k)
+        act = jax.random.uniform(
+            ka, (n, *act_space.shape), minval=-1.0, maxval=1.0, dtype=jnp.float32
+        )
+        pred = jax.random.normal(kp, (n, *pred_space.shape), dtype=jnp.float32)
+        return {"action": act, "prediction": pred}
+
+    @jax.jit
+    def run(key, state0, obs0):
+        def body(carry, k):
+            obs, state = carry
+            pk, sk = jax.random.split(k)
+            act = policy(pk, obs)
+            obs2, state2, reward, term, trunc, _ = venv.step(sk, state, act, params)
+            return (obs2, state2), reward.sum()
+
+        keys = jax.random.split(key, num_steps)
+        (_, state_f), rsum = jax.lax.scan(body, (obs0, state0), keys)
+        return state_f, rsum.sum()
+
+    rk, bk, wk = jax.random.split(key, 3)
+    obs0, state0, _ = jax.jit(venv.reset)(rk, params)
+    jax.block_until_ready(run(wk, state0, obs0))  # warmup/compile
+    t0 = time.perf_counter()
+    state_f, rsum = run(bk, state0, obs0)
+    jax.block_until_ready(rsum)
+    dt = time.perf_counter() - t0
+    return n * num_steps / dt
+
+
+def make_circle_square(num_envs: int):
+    from apx.core.env import AutoResetMode, vmap_vector_env
+    from apx.data.circle_square import make_circle_square_bank
+    from apx.envs.image_classification import ImageClassificationEnv
+
+    env = ImageClassificationEnv(dataset=make_circle_square_bank())
+    params = env.default_params()
+    venv = vmap_vector_env(env, num_envs, AutoResetMode.LOCKSTEP)
+    return venv, params, 2200.0  # reference best: N=256 on container CPU
+
+
+def make_light_dark(num_envs: int):
+    from apx.core.env import AutoResetMode, vmap_vector_env
+    from apx.envs.light_dark import LightDarkEnv
+
+    env = LightDarkEnv()
+    params = env.default_params()
+    venv = vmap_vector_env(env, num_envs, AutoResetMode.NEXT_STEP)
+    return venv, params, 4642.0  # reference SyncVectorEnv N=64 on container CPU
+
+
+def make_lidar_rooms(num_envs: int):
+    from apx.core.env import AutoResetMode, vmap_vector_env
+    from apx.data.floor_map import make_rooms_bank
+    from apx.envs.lidar_localization import LIDARLocalizationEnv
+
+    env = LIDARLocalizationEnv(map_bank=make_rooms_bank(num_maps=256))
+    params = env.default_params()
+    venv = vmap_vector_env(env, num_envs, AutoResetMode.NEXT_STEP)
+    # No reference number exists (shapely absent in container; the reference
+    # runs 8 GEOS segment queries per step in a Python loop). Use the driver
+    # north-star denominator: 1M aggregate env-steps/s (BASELINE.json).
+    return venv, params, 1_000_000.0
+
+
+BENCHES = {
+    "circle_square": make_circle_square,
+    "light_dark": make_light_dark,
+    "lidar_rooms": make_lidar_rooms,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", default="lidar_rooms", choices=sorted(BENCHES))
+    ap.add_argument("--num-envs", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--all", action="store_true", help="print one line per env")
+    args = ap.parse_args()
+
+    key = jax.random.key(0)
+    names = sorted(BENCHES) if args.all else [args.env]
+    for name in names:
+        try:
+            venv, params, baseline = BENCHES[name](args.num_envs)
+        except (ImportError, AttributeError):
+            if args.all:
+                continue  # env family not built yet
+            name = "circle_square"
+            venv, params, baseline = BENCHES[name](args.num_envs)
+        sps = bench_env(venv, params, args.steps, key)
+        print(
+            json.dumps(
+                {
+                    "metric": f"{name}_env_steps_per_s",
+                    "value": round(sps, 1),
+                    "unit": "env-steps/s",
+                    "vs_baseline": round(sps / baseline, 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
