@@ -126,6 +126,19 @@ class APEnv(Generic[P, S]):
         (image_localization.py:151-152)."""
         raise NotImplementedError
 
+    def compose_info(
+        self, info, base_reward, pred_target, loss, prediction, params: P
+    ) -> dict[str, Any]:
+        """info contract of active_perception_env.py:113-119. Overridable:
+        the Sparsify wrapper reports the *dense* inner loss here while the
+        reward uses the weighted one (sparsify_wrapper.py:74-88 leaves the
+        inner step's info['prediction']['loss'] untouched)."""
+        return {
+            **info,
+            "base_reward": base_reward,
+            "prediction": {"target": pred_target, "loss": loss},
+        }
+
     # ---- template methods (mirror ActivePerceptionEnv.step) --------------
     def reset(self, key: jax.Array, params: P) -> tuple[Any, S, dict[str, Any]]:
         return self.reset_env(key, params)
@@ -144,11 +157,10 @@ class APEnv(Generic[P, S]):
         )
         loss = self.loss_fn(params)(full_action["prediction"], r.prediction_target)
         reward = r.base_reward - loss
-        info = {
-            **r.info,
-            "base_reward": r.base_reward,
-            "prediction": {"target": r.prediction_target, "loss": loss},
-        }
+        info = self.compose_info(
+            r.info, r.base_reward, r.prediction_target, loss,
+            full_action["prediction"], params,
+        )
         return r.obs, r.state, reward, r.terminated, r.truncated, info
 
 
@@ -204,11 +216,10 @@ class VectorAPEnv:
         if self.autoreset is AutoResetMode.DISABLED:
             loss = loss_fn(full_action["prediction"], r.prediction_target)
             reward = r.base_reward - loss
-            info = {
-                **r.info,
-                "base_reward": r.base_reward,
-                "prediction": {"target": r.prediction_target, "loss": loss},
-            }
+            info = self.env.compose_info(
+                r.info, r.base_reward, r.prediction_target, loss,
+                full_action["prediction"], params,
+            )
             vstate = VectorState(inner=r.state, prev_done=r.terminated | r.truncated)
             return r.obs, vstate, reward, r.terminated, r.truncated, info
 
@@ -261,11 +272,9 @@ class VectorAPEnv:
             {**reset_info, **{k: v for k, v in r.info.items() if k not in reset_info}},
             r.info,
         ) if set(reset_info) == set(r.info) else r.info
-        info = {
-            **info,
-            "base_reward": base_reward,
-            "prediction": {"target": pred_target, "loss": loss},
-        }
+        info = self.env.compose_info(
+            info, base_reward, pred_target, loss, full_action["prediction"], params
+        )
 
         vstate = VectorState(inner=new_inner, prev_done=terminated | truncated)
         return obs, vstate, reward, terminated, truncated, info

@@ -1,4 +1,11 @@
 from .dataset import BankImageDataset, ImageDataset
+from .floor_map import (
+    MapBank,
+    generate_maze_map,
+    generate_rooms_map,
+    make_maze_bank,
+    make_rooms_bank,
+)
 from .circle_square import (
     DoubleCircleSquareDataset,
     circle_square_object_position_and_label,

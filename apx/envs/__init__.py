@@ -5,4 +5,9 @@ from .image_perception import (
     ImagePerceptionParams,
     ImagePerceptionState,
 )
+from .lidar_localization import (
+    LIDARLocalizationEnv,
+    LIDARLocalizationParams,
+    LIDARLocalizationState,
+)
 from .light_dark import LightDarkEnv, LightDarkParams, LightDarkState

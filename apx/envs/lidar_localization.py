@@ -1,0 +1,207 @@
+"""2D LIDAR localization environment (functional, TPU-native).
+
+Behavioral reference: /root/reference/ap_gym/envs/lidar_localization2d.py.
+Semantics preserved exactly:
+  * map = boolean occupancy grid; wall cell (y, x) spans [x,x+1] x [y,y+1],
+  * 8 LIDAR beams at angles linspace(-pi, pi, 8, endpoint=False), range 5;
+    lidar obs = clip(dist / range, -1, 1) (:180-191, :272),
+  * odometry obs = (pos - initial_pos) / [W, H] (:263-270),
+  * dynamic-map variants add obs["map"] = occ.astype(f32)/255 — note the
+    reference divides the *boolean* cast by 255, so values are {0, 1/255}
+    (:299); replicated verbatim,
+  * base_reward = 0.1 - 1e-3 * sum(action^2) (:330),
+  * action normalized into the unit circle only when |a| > 1 (:332-335),
+  * movement: raycast to first wall (eps=1e-3 pullback), then the
+    reference's axis-aligned wall slide — including its quirks: only
+    *positive* remaining components survive the `> 1e-5` filter, and when
+    exactly one survives, `np.eye(2) * v` broadcasts it onto BOTH axes
+    (:346-364); replicated decision-for-decision,
+  * terminate when the agent leaves [0,W) x [0,H); pos then clipped to
+    [0, map_size] (:366-375),
+  * prediction target = *previous* position, normalized pos/size*2-1 (:377),
+  * start: uniform over free cells (row-major order), +0.5 center (:303-311),
+  * dynamic maps: a fresh map per episode (:297-299) — drawn here from an
+    HBM-resident MapBank instead of a host prefetch thread,
+  * NaN actions/predictions raise in the reference (:318-321); in jitted
+    code they propagate instead — use apx.core.checks.assert_no_nan_actions
+    (checkify) when that guard is needed.
+
+The per-step hot path (8 beams + <=3 movement rays, all slab raycasts) is
+pure VPU math with no host round trips; registered variants wrap this env
+in TimeLimit(100, issue_termination=True) like registration.py:649-690.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.env import APEnv, APStepResult
+from ..core.losses import LossFn
+from ..core.spaces import Box, DictSpace, Image, Space
+from ..data.floor_map import MapBank
+from ..ops.raycast import lidar_directions, raycast_grid
+from .common import make_regression_loss_and_target_space
+
+__all__ = ["LIDARLocalizationEnv", "LIDARLocalizationParams", "LIDARLocalizationState"]
+
+
+class LIDARLocalizationParams(struct.PyTreeNode):
+    map_bank: MapBank
+    static_map: bool = struct.field(pytree_node=False, default=False)
+    static_map_pos: int = struct.field(pytree_node=False, default=0)
+    lidar_beam_count: int = struct.field(pytree_node=False, default=8)
+    lidar_range: float = struct.field(pytree_node=False, default=5.0)
+
+
+class LIDARLocalizationState(struct.PyTreeNode):
+    occ: jax.Array  # (H, W) bool — current map
+    bank_pos: jax.Array  # () int32 — position in the bank
+    pos: jax.Array  # (2,) f32 (x, y)
+    initial_pos: jax.Array  # (2,) f32
+
+
+class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState]):
+    def __init__(self, map_bank: MapBank | None = None, **config):
+        self._map_bank = map_bank
+        self._config = config
+
+    def default_params(self, **overrides) -> LIDARLocalizationParams:
+        cfg = {**self._config, **overrides}
+        bank = cfg.pop("map_bank", self._map_bank)
+        if bank is None:
+            raise ValueError("LIDARLocalizationEnv requires a map bank")
+        return LIDARLocalizationParams(map_bank=bank, **cfg)
+
+    # ---- spaces / loss ------------------------------------------------------
+    def observation_space(self, params) -> Space:
+        h, w = params.map_bank.map_hw
+        d: dict[str, Any] = {
+            "lidar": Box(low=0.0, high=1.0, shape=(params.lidar_beam_count,)),
+            "odometry": Box(low=-1.0, high=1.0, shape=(2,)),
+        }
+        if not params.static_map:
+            d["map"] = Image.create(width=w, height=h, channels=1)
+        return DictSpace(d)
+
+    def inner_action_space(self, params) -> Space:
+        return Box(low=-1.0, high=1.0, shape=(2,))
+
+    def prediction_space(self, params) -> Space:
+        return Box(low=-1.0, high=1.0, shape=(2,))
+
+    def prediction_target_space(self, params) -> Space:
+        _, space = make_regression_loss_and_target_space(2, -1.0, 1.0)
+        return space
+
+    def loss_fn(self, params) -> LossFn:
+        loss, _ = make_regression_loss_and_target_space(2, -1.0, 1.0)
+        return loss
+
+    # ---- helpers ------------------------------------------------------------
+    @staticmethod
+    def _map_size(params) -> jnp.ndarray:
+        h, w = params.map_bank.map_hw
+        return jnp.array([w, h], dtype=jnp.float32)
+
+    def _observe(self, state: LIDARLocalizationState, params) -> dict[str, jax.Array]:
+        dirs = lidar_directions(params.lidar_beam_count) * params.lidar_range
+        dist, _ = raycast_grid(state.occ, state.pos, state.pos + dirs)
+        obs = {
+            "lidar": jnp.clip(dist / params.lidar_range, -1.0, 1.0),
+            "odometry": (state.pos - state.initial_pos) / self._map_size(params),
+        }
+        if not params.static_map:
+            obs["map"] = state.occ[..., None].astype(jnp.float32) / 255.0
+        return obs
+
+    def _info(self, state, params) -> dict[str, jax.Array]:
+        return {
+            "map_idx": jnp.take(params.map_bank.indices, state.bank_pos).astype(
+                jnp.int32
+            )
+        }
+
+    # ---- dynamics -----------------------------------------------------------
+    def reset_env(self, key, params):
+        k_map, k_cell = jax.random.split(key)
+        if params.static_map:
+            bank_pos = jnp.full((), params.static_map_pos, dtype=jnp.int32)
+        else:
+            bank_pos = jax.random.randint(
+                k_map, (), 0, params.map_bank.num_maps, dtype=jnp.int32
+            )
+        occ = params.map_bank.fetch(bank_pos)
+        h, w = params.map_bank.map_hw
+        free = ~occ.reshape(-1)
+        n_free = jnp.take(params.map_bank.free_counts, bank_pos)
+        k = jax.random.randint(k_cell, (), 0, n_free, dtype=jnp.int32)
+        # k-th free cell in row-major order == np.where order (:303-311).
+        flat_idx = jnp.searchsorted(
+            jnp.cumsum(free.astype(jnp.int32)), k + 1, side="left"
+        ).astype(jnp.int32)
+        cy, cx = jnp.divmod(flat_idx, w)
+        pos = jnp.array([cx, cy], dtype=jnp.float32) + 0.5
+        state = LIDARLocalizationState(
+            occ=occ, bank_pos=bank_pos, pos=pos, initial_pos=pos
+        )
+        return self._observe(state, params), state, self._info(state, params)
+
+    def step_env(self, key, state, action, prediction, params) -> APStepResult:
+        last_pos = state.pos
+        base_reward = 0.1 - 1e-3 * jnp.sum(jnp.square(action), axis=-1)
+
+        mag = jnp.linalg.norm(action)
+        a = jnp.where(mag > 1.0, action / jnp.where(mag == 0.0, 1.0, mag), action)
+        total = jnp.linalg.norm(a)
+        safe_total = jnp.where(total == 0.0, 1.0, total)
+        direction = a / safe_total
+
+        # First leg: move up to the nearest wall (:336-343).
+        d2w, _ = raycast_grid(state.occ, state.pos, (state.pos + a)[None, :])
+        d2w = d2w[0]
+        pos1 = state.pos + direction * d2w
+
+        # Wall slide (:346-364), reference quirks included: filter keeps only
+        # components > 1e-5 (positive!), and a single survivor v becomes
+        # np.eye(2) * [v] == diag([v, v]) — candidates on BOTH axes.
+        rem = total - d2w
+        rem_vec = direction * rem
+        keep = rem_vec > 1e-5
+        n_keep = keep.sum()
+        # masked fill 0 (not -inf): unused when n_keep == 0, and avoids
+        # -inf * 0 NaNs in the candidate construction below.
+        v_single = jnp.max(jnp.where(keep, rem_vec, 0.0))
+        cand_diag = jnp.where(n_keep == 2, rem_vec, jnp.full((2,), v_single))
+        cand = jnp.eye(2, dtype=jnp.float32) * cand_diag  # (2, 2) candidate moves
+        cand_dist, _ = raycast_grid(state.occ, pos1, pos1 + cand)
+        idx = jnp.where(cand_dist[0] > 0.0, 0, 1)
+        slide = (
+            cand[idx] / jnp.where(cand_diag[idx] == 0.0, 1.0, cand_diag[idx])
+        ) * cand_dist[idx]
+        do_slide = (total > 0.0) & (rem > 1e-5) & (n_keep > 0)
+        pos2 = jnp.where(do_slide, pos1 + slide, pos1)
+        pos2 = jnp.where(total > 0.0, pos2, state.pos)
+
+        size = self._map_size(params)
+        terminated = jnp.any(pos2 < 0.0) | jnp.any(pos2 >= size)
+        pos2 = jnp.clip(pos2, 0.0, size)
+
+        new_state = state.replace(pos=pos2)
+        target = (last_pos / size * 2.0 - 1.0).astype(jnp.float32)
+        return APStepResult(
+            obs=self._observe(new_state, params),
+            state=new_state,
+            base_reward=base_reward.astype(jnp.float32),
+            terminated=terminated,
+            truncated=jnp.zeros((), dtype=jnp.bool_),
+            info=self._info(new_state, params),
+            prediction_target=target,
+        )
+
+    def prediction_target_on_reset(self, old_state, new_state, params):
+        size = self._map_size(params)
+        return (old_state.pos / size * 2.0 - 1.0).astype(jnp.float32)

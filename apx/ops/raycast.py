@@ -1,0 +1,124 @@
+"""Batched segment raycasting against unit-cell occupancy grids.
+
+The reference casts each LIDAR beam / movement ray as an exact shapely
+``LineString ∩ union-of-wall-boxes`` query in a per-beam Python loop
+(/root/reference/ap_gym/envs/lidar_localization2d.py:496-536). For
+axis-aligned unit cells that geometric query is equivalent to a slab test
+per (ray, cell): the nearest hit parameter is the minimum cell-entry
+parameter over occupied cells.
+
+TPU-native design: a dense, gather-free (rays x cells) slab test that maps
+onto the VPU as pure elementwise math + a min-reduction. XLA fuses the
+broadcasted intermediates into the reduce, so nothing of size R x H*W is
+materialized in HBM. Maps here are 21x21 / 32x32, so brute force over all
+cells beats a serial DDA march under vmap (no dynamic gathers, no
+sequential dependencies).
+
+Semantics preserved exactly (lidar_localization2d.py:496-536):
+  * hit: distance = max(||contact - origin|| - eps, 0), eps = 1e-3,
+  * miss: distance = ||target - origin|| (no eps),
+  * rays starting on a wall boundary and pointing away are misses for that
+    wall (t_exit == 0 tangency counts as a hit only if the segment actually
+    grazes the box, which matches the union-boundary-inclusive GEOS result).
+The only divergence is the reference's curious single-Point tangency branch
+(:512-514) that reports distance 0 no matter where along the ray the graze
+happens; we report the graze parameter instead (measure-zero event).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["raycast_grid", "lidar_directions", "contact_cells"]
+
+_EPS = 1e-3
+
+
+def lidar_directions(beam_count: int) -> jnp.ndarray:
+    """(B, 2) unit beam directions at angles linspace(-pi, pi, B, endpoint
+    =False), matching lidar_localization2d.py:181-187."""
+    import numpy as np
+
+    ang = np.linspace(-np.pi, np.pi, beam_count, dtype=np.float32, endpoint=False)
+    return jnp.asarray(np.stack([np.cos(ang), np.sin(ang)], axis=-1))
+
+
+def _slab_axis(o, d, lo, hi):
+    """Per-axis slab entry/exit parameters; handles d == 0 exactly."""
+    inv = jnp.where(d == 0.0, jnp.inf, 1.0 / jnp.where(d == 0.0, 1.0, d))
+    t1 = (lo - o) * inv
+    t2 = (hi - o) * inv
+    near = jnp.minimum(t1, t2)
+    far = jnp.maximum(t1, t2)
+    inside = (lo <= o) & (o <= hi)
+    near = jnp.where(d == 0.0, jnp.where(inside, -jnp.inf, jnp.inf), near)
+    far = jnp.where(d == 0.0, jnp.where(inside, jnp.inf, -jnp.inf), far)
+    return near, far
+
+
+def raycast_grid(
+    occ: jnp.ndarray,
+    origin: jnp.ndarray,
+    targets: jnp.ndarray,
+    eps: float = _EPS,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Cast segments origin -> targets[r] against wall cells of ``occ``.
+
+    Args:
+      occ: (H, W) bool/numeric occupancy, True/nonzero = wall; wall cell
+        (row y, col x) spans [x, x+1] x [y, y+1] in continuous coordinates.
+      origin: (2,) f32 (x, y).
+      targets: (R, 2) f32.
+    Returns:
+      distances: (R,) f32 per the semantics above.
+      hit_t: (R,) f32 — hit parameter in [0, 1], or +inf on miss (used by
+        callers needing contact points; distance already encodes the miss).
+    """
+    h, w = occ.shape
+    occf = occ.reshape(-1).astype(jnp.bool_)
+    cy, cx = jnp.divmod(jnp.arange(h * w, dtype=jnp.int32), w)
+    cx = cx.astype(jnp.float32)
+    cy = cy.astype(jnp.float32)
+
+    o = origin.astype(jnp.float32)
+    d = targets.astype(jnp.float32) - o  # (R, 2)
+    seg_len = jnp.linalg.norm(d, axis=-1)  # (R,)
+
+    # (R, C) slab tests; XLA fuses these into the min-reduce below.
+    nx, fx = _slab_axis(o[0], d[:, 0:1], cx[None, :], cx[None, :] + 1.0)
+    ny, fy = _slab_axis(o[1], d[:, 1:2], cy[None, :], cy[None, :] + 1.0)
+    t_enter = jnp.maximum(nx, ny)
+    t_exit = jnp.minimum(fx, fy)
+    valid = occf[None, :] & (t_enter <= t_exit) & (t_exit >= 0.0) & (t_enter <= 1.0)
+    t_hit = jnp.min(
+        jnp.where(valid, jnp.maximum(t_enter, 0.0), jnp.inf), axis=-1
+    )  # (R,)
+
+    hit = jnp.isfinite(t_hit)
+    dist = jnp.where(
+        hit, jnp.maximum(t_hit * seg_len - eps, 0.0), seg_len
+    ).astype(jnp.float32)
+    return dist, t_hit
+
+
+def contact_cells(
+    origin: jnp.ndarray,
+    targets: jnp.ndarray,
+    distances: jnp.ndarray,
+    tol: float = 1e-5,
+) -> jnp.ndarray:
+    """(R, 2) int32 cell coords of each beam's contact point, or -1 on miss.
+    Mirrors the contact-cell bookkeeping (corner pullback for coordinates
+    landing exactly on a boundary while travelling negative) of
+    lidar_localization2d.py:529-535. Render/fog-of-war helper."""
+    o = origin.astype(jnp.float32)
+    d = targets.astype(jnp.float32) - o
+    seg_len = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    unit = d / jnp.where(seg_len == 0.0, 1.0, seg_len)
+    contact = o + unit * distances[:, None]
+    coords = jnp.floor(contact)
+    exact = jnp.abs(coords - contact) < tol
+    coords = jnp.where(exact & (targets < o), coords - 1.0, coords)
+    miss = distances[:, None] >= seg_len
+    return jnp.where(miss, -1, coords.astype(jnp.int32))

@@ -1,0 +1,64 @@
+"""Functional wrapper base for APEnv.
+
+Mirrors the role of ActivePerceptionWrapper
+(/root/reference/ap_gym/active_perception_env.py:124-166): re-expose the
+inner env's spaces/loss, let subclasses override any piece. Wrapper state
+nests the inner state in a pytree, so vmap/jit/scan compose transparently.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+
+from ..core.env import APEnv, APStepResult
+from ..core.losses import LossFn
+from ..core.spaces import Space
+
+__all__ = ["APWrapper", "unwrapped"]
+
+
+class APWrapper(APEnv):
+    def __init__(self, env: APEnv):
+        self.env = env
+
+    # ---- metadata delegation ------------------------------------------------
+    def default_params(self, **overrides):
+        return self.env.default_params(**overrides)
+
+    def observation_space(self, params) -> Space:
+        return self.env.observation_space(params)
+
+    def inner_action_space(self, params) -> Space:
+        return self.env.inner_action_space(params)
+
+    def prediction_space(self, params) -> Space:
+        return self.env.prediction_space(params)
+
+    def prediction_target_space(self, params) -> Space:
+        return self.env.prediction_target_space(params)
+
+    def loss_fn(self, params) -> LossFn:
+        return self.env.loss_fn(params)
+
+    # ---- dynamics delegation ------------------------------------------------
+    def reset_env(self, key: jax.Array, params):
+        return self.env.reset_env(key, params)
+
+    def step_env(self, key, state, action, prediction, params) -> APStepResult:
+        return self.env.step_env(key, state, action, prediction, params)
+
+    def autoreset_env(self, key, old_state, params):
+        return self.env.autoreset_env(key, old_state, params)
+
+    def prediction_target_on_reset(self, old_state, new_state, params):
+        return self.env.prediction_target_on_reset(old_state, new_state, params)
+
+
+def unwrapped(env: APEnv) -> APEnv:
+    """Innermost env (cf. ActivePerceptionRestoreWrapper's dig,
+    active_perception_env.py:169-180)."""
+    while isinstance(env, APWrapper):
+        env = env.env
+    return env

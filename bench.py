@@ -85,8 +85,13 @@ def make_lidar_rooms(num_envs: int):
     from apx.core.env import AutoResetMode, vmap_vector_env
     from apx.data.floor_map import make_rooms_bank
     from apx.envs.lidar_localization import LIDARLocalizationEnv
+    from apx.wrappers import TimeLimit
 
-    env = LIDARLocalizationEnv(map_bank=make_rooms_bank(num_maps=256))
+    env = TimeLimit(
+        LIDARLocalizationEnv(map_bank=make_rooms_bank(num_maps=256)),
+        max_episode_steps=100,
+        issue_termination=True,
+    )
     params = env.default_params()
     venv = vmap_vector_env(env, num_envs, AutoResetMode.NEXT_STEP)
     # No reference number exists (shapely absent in container; the reference

@@ -1,0 +1,260 @@
+"""LIDAR localization: floor maps, raycast, env behavior.
+
+The reference LIDAR env needs shapely (absent here), so raycast correctness
+is checked against an independent edge-intersection oracle instead of
+golden trajectories; floor-map generation is checked bitwise against the
+reference's generators, which are importable.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import load_reference_ap_gym
+
+from apx.core.env import AutoResetMode, vmap_vector_env
+from apx.data.floor_map import (
+    generate_maze_map,
+    generate_rooms_map,
+    make_maze_bank,
+    make_rooms_bank,
+)
+from apx.envs.lidar_localization import LIDARLocalizationEnv
+from apx.ops.raycast import lidar_directions, raycast_grid
+from apx.wrappers import Sparsify, TimeLimit
+
+
+# ---------------------------------------------------------------------------
+# Floor maps
+# ---------------------------------------------------------------------------
+
+
+def test_maze_matches_reference_bitwise():
+    ref = load_reference_ap_gym()
+    if ref is None:
+        pytest.skip("reference not importable")
+    from ap_gym.envs.floor_map.floor_map_dataset_maze import FloorMapDatasetMaze
+
+    ds = FloorMapDatasetMaze()
+    for idx in [0, 1, 7, 12345, 2**31 + 7]:
+        np.testing.assert_array_equal(ds.get_data_point(idx), generate_maze_map(idx))
+
+
+def test_rooms_matches_reference_bitwise():
+    ref = load_reference_ap_gym()
+    if ref is None:
+        pytest.skip("reference not importable")
+    from ap_gym.envs.floor_map.floor_map_dataset_rooms import FloorMapDatasetRooms
+
+    ds = FloorMapDatasetRooms()
+    for idx in [0, 1, 7, 999999, 2**31 + 7]:
+        np.testing.assert_array_equal(ds.get_data_point(idx), generate_rooms_map(idx))
+
+
+def test_map_banks():
+    bank = make_maze_bank(num_maps=4)
+    assert bank.maps.shape == (4, 21, 21)
+    assert bank.map_hw == (21, 21)
+    # Border is wall, free counts consistent.
+    m = np.asarray(bank.maps)
+    assert m[:, 0, :].all() and m[:, -1, :].all()
+    np.testing.assert_array_equal(
+        np.asarray(bank.free_counts), (~m).reshape(4, -1).sum(-1)
+    )
+    rbank = make_rooms_bank(num_maps=2)
+    assert rbank.maps.shape == (2, 32, 32)
+
+
+# ---------------------------------------------------------------------------
+# Raycast vs an independent edge-intersection oracle
+# ---------------------------------------------------------------------------
+
+
+def _oracle_raycast(occ, origin, target, eps=1e-3):
+    """Nearest intersection of segment origin->target with the union of wall
+    cells, via explicit segment-vs-edge intersections + inside tests (a
+    different algorithm than the slab method under test)."""
+    o = np.asarray(origin, float)
+    t = np.asarray(target, float)
+    d = t - o
+    seg_len = np.linalg.norm(d)
+    best = np.inf
+    ys, xs = np.where(np.asarray(occ))
+    for y, x in zip(ys, xs):
+        # Inside (boundary-inclusive) at s=0?
+        if x <= o[0] <= x + 1 and y <= o[1] <= y + 1:
+            best = min(best, 0.0)
+            continue
+        for axis, c in ((0, x), (0, x + 1), (1, y), (1, y + 1)):
+            if d[axis] == 0:
+                continue
+            s = (c - o[axis]) / d[axis]
+            if 0 <= s <= 1:
+                other = o[1 - axis] + s * d[1 - axis]
+                lo = y if axis == 0 else x
+                if lo <= other <= lo + 1:
+                    best = min(best, s)
+    if np.isinf(best):
+        return seg_len
+    return max(best * seg_len - eps, 0.0)
+
+
+def test_raycast_matches_oracle():
+    rng = np.random.default_rng(0)
+    occ = generate_rooms_map(3)
+    h, w = occ.shape
+    free_y, free_x = np.where(~occ)
+    for trial in range(50):
+        i = rng.integers(len(free_y))
+        origin = np.array([free_x[i], free_y[i]], float) + rng.uniform(0.05, 0.95, 2)
+        ang = rng.uniform(-np.pi, np.pi)
+        rang = rng.uniform(0.1, 6.0)
+        target = origin + np.array([np.cos(ang), np.sin(ang)]) * rang
+        dist, _ = raycast_grid(
+            jnp.asarray(occ), jnp.asarray(origin, dtype=jnp.float32),
+            jnp.asarray(target, dtype=jnp.float32)[None],
+        )
+        expect = _oracle_raycast(occ, origin, target)
+        assert abs(float(dist[0]) - expect) < 1e-4, (trial, origin, target)
+
+
+def test_raycast_miss_returns_full_length():
+    occ = np.zeros((8, 8), bool)
+    occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = True
+    d, t = raycast_grid(
+        jnp.asarray(occ), jnp.array([4.0, 4.0]), jnp.array([[4.5, 4.5]])
+    )
+    np.testing.assert_allclose(float(d[0]), np.sqrt(0.5), rtol=1e-6)
+    assert np.isinf(float(t[0]))
+
+
+def test_lidar_directions_match_reference_convention():
+    dirs = np.asarray(lidar_directions(8))
+    ang = np.linspace(-np.pi, np.pi, 8, dtype=np.float32, endpoint=False)
+    np.testing.assert_allclose(dirs, np.stack([np.cos(ang), np.sin(ang)], -1))
+
+
+# ---------------------------------------------------------------------------
+# Env behavior
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rooms_env():
+    env = LIDARLocalizationEnv(map_bank=make_rooms_bank(num_maps=8))
+    return env, env.default_params()
+
+
+def test_lidar_env_reset(rooms_env):
+    env, params = rooms_env
+    obs, state, info = jax.jit(env.reset, static_argnums=())(
+        jax.random.PRNGKey(0), params
+    )
+    assert obs["lidar"].shape == (8,)
+    assert obs["odometry"].shape == (2,)
+    assert obs["map"].shape == (32, 32, 1)
+    # Start cell is free and centered.
+    x, y = np.asarray(state.pos)
+    assert (x % 1, y % 1) == (0.5, 0.5)
+    assert not bool(state.occ[int(y), int(x)])
+    # Map obs carries the reference's bool/255 quirk: values in {0, 1/255}.
+    vals = np.unique(np.asarray(obs["map"]))
+    assert set(np.round(vals * 255).astype(int)).issubset({0, 1})
+    np.testing.assert_allclose(np.asarray(obs["odometry"]), 0.0)
+
+
+def test_lidar_env_step_semantics(rooms_env):
+    env, params = rooms_env
+    key = jax.random.PRNGKey(1)
+    obs, state, _ = env.reset(key, params)
+
+    act = jnp.array([0.3, -0.2])
+    pred = jnp.array([0.1, 0.1])
+    step = jax.jit(lambda k, s, a, p: env.step(k, s, {"action": a, "prediction": p}, params))
+    obs2, state2, reward, term, trunc, info = step(key, state, act, pred)
+
+    # base_reward = 0.1 - 1e-3 * sum(a^2); loss = normalized MSE vs previous pos.
+    base = 0.1 - 1e-3 * float(jnp.sum(act**2))
+    size = np.array([32.0, 32.0])
+    target = np.asarray(state.pos) / size * 2 - 1
+    mse = np.mean((np.asarray(pred) - target) ** 2)
+    norm = mse / ((2.0 / np.sqrt(12)) ** 2)
+    np.testing.assert_allclose(float(info["base_reward"]), base, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(info["prediction"]["target"]), target, rtol=1e-6)
+    np.testing.assert_allclose(float(reward), base - norm, rtol=1e-5)
+
+    # Movement magnitude <= |action| and the agent never ends inside a wall.
+    moved = np.linalg.norm(np.asarray(state2.pos) - np.asarray(state.pos))
+    assert moved <= np.linalg.norm(np.asarray(act)) + 1e-6
+    x, y = np.asarray(state2.pos)
+    assert not bool(state.occ[min(int(y), 31), min(int(x), 31)])
+
+
+def test_lidar_env_never_crosses_walls(rooms_env):
+    env, params = rooms_env
+    venv = vmap_vector_env(env, 64, AutoResetMode.NEXT_STEP)
+    key = jax.random.PRNGKey(2)
+    obs, vstate, _ = jax.jit(venv.reset)(key, params)
+
+    @jax.jit
+    def run(key, vstate):
+        def body(carry, k):
+            vs = carry
+            ka, kp, ks = jax.random.split(k, 3)
+            act = {
+                "action": jax.random.uniform(ka, (64, 2), minval=-1, maxval=1) * 3.0,
+                "prediction": jax.random.uniform(kp, (64, 2), minval=-1, maxval=1),
+            }
+            obs, vs2, r, te, tr, info = venv.step(ks, vs, act, params)
+            return vs2, (vs2.inner.pos, vs2.inner.occ)
+        keys = jax.random.split(key, 40)
+        return jax.lax.scan(body, vstate, keys)
+
+    vstate_f, (poss, occs) = run(key, vstate)
+    poss = np.asarray(poss)  # (T, N, 2)
+    occs = np.asarray(occs)  # (T, N, H, W)
+    xi = np.clip(poss[..., 0].astype(int), 0, 31)
+    yi = np.clip(poss[..., 1].astype(int), 0, 31)
+    in_wall = occs[
+        np.arange(40)[:, None], np.arange(64)[None, :], yi, xi
+    ]
+    # Positions exactly on upper cell boundaries floor into the wall cell;
+    # exclude those (agent is on the boundary, not inside).
+    on_boundary = ((poss[..., 0] % 1) == 0) | ((poss[..., 1] % 1) == 0)
+    assert not np.any(in_wall & ~on_boundary)
+
+
+def test_lidar_static_map_mode():
+    env = LIDARLocalizationEnv(map_bank=make_maze_bank(num_maps=2))
+    params = env.default_params(static_map=True, static_map_pos=1)
+    obs, state, info = env.reset(jax.random.PRNGKey(5), params)
+    assert "map" not in obs
+    assert int(state.bank_pos) == 1
+    np.testing.assert_array_equal(
+        np.asarray(state.occ), np.asarray(params.map_bank.maps[1])
+    )
+
+
+def test_lidar_with_time_limit_and_sparsify():
+    env = LIDARLocalizationEnv(map_bank=make_rooms_bank(num_maps=4))
+    wrapped = Sparsify(TimeLimit(env, max_episode_steps=10, issue_termination=True))
+    params = wrapped.default_params()
+    key = jax.random.PRNGKey(3)
+    obs, state, _ = wrapped.reset(key, params)
+    assert float(obs["time_step"]) == -1.0
+
+    act = {"action": jnp.zeros(2), "prediction": jnp.zeros(2)}
+    term = False
+    for i in range(10):
+        obs, state, reward, term, trunc, info = wrapped.step(key, state, act, params)
+        # Sparse: reward carries no loss until the terminal step.
+        if i < 9:
+            assert not bool(term)
+            np.testing.assert_allclose(float(reward), 0.1, rtol=1e-6)
+        # info reports the dense loss even in sparse mode (reference quirk).
+        assert float(info["prediction"]["loss"]) > 0 or i == 0
+    assert bool(term)
+    assert float(obs["time_step"]) == 1.0
+    # Terminal step: weight 1 -> reward includes the loss.
+    assert float(reward) < 0.1
