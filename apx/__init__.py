@@ -36,3 +36,5 @@ from .core import (
     rollout,
     vmap_vector_env,
 )
+from .registry import env_ids, make, make_vec, registry
+from .wrappers import APWrapper, Sparsify, TimeLimit, unwrapped
