@@ -1,0 +1,341 @@
+"""Gymnasium-API adapter over the functional apx envs.
+
+Drop-in equivalents of the reference's env objects
+(active_perception_env.py:90-121, active_perception_vector_env.py:69-111,
+vector_to_single_wrapper.py:18-129): numpy in/out, the same step info
+contract, and — in ``rng="reference"`` mode — the reference's exact NumPy
+PCG64 draw chains (see shims.py), so seeded episodes match the reference
+bitwise in all integer/boolean channels and to f32 tolerance in float ones.
+
+Loss composition happens on host with ``loss_fn.numpy`` exactly like the
+reference's step() template; device code produces observations, dynamics
+and the prediction target.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.env import APEnv
+from ..core.losses import WeightedLossFn, ZeroLossFn
+from ..wrappers.base import APWrapper
+from .builders import apply_step_draws, reset_from_draws
+from .shims import make_shim
+from .spaces import to_gym_action_space, to_gym_space
+
+__all__ = ["GymVectorAPEnv", "GymAPEnv"]
+
+
+def _np_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _squeeze_tree(tree):
+    return jax.tree_util.tree_map(lambda x: x[0], tree)
+
+
+class GymVectorAPEnv:
+    """Vectorized gymnasium-style adapter (duck-types gym.vector.VectorEnv's
+    step/reset API plus the reference's loss_fn/prediction spaces)."""
+
+    metadata = {"autoreset_mode": "NextStep"}
+
+    def __init__(
+        self,
+        env: APEnv,
+        params,
+        num_envs: int,
+        autoreset: str = "lockstep",  # "lockstep" | "next_step" | "none"
+        rng: str = "reference",  # "reference" | "native"
+        sparse: bool = False,
+    ):
+        assert autoreset in ("lockstep", "next_step", "none")
+        assert rng in ("reference", "native")
+        self.env = env
+        self.params = params
+        self.num_envs = num_envs
+        self.autoreset = autoreset
+        self.rng = rng
+        self.sparse = sparse
+
+        base = env
+        while isinstance(base, APWrapper):
+            base = base.env
+        self.base = base
+        self.shim = make_shim(base, params, num_envs) if rng == "reference" else None
+        if self.shim is None:
+            self.rng = "native"
+
+        self._dense_loss = env.loss_fn(params)
+        self._loss = WeightedLossFn(inner=self._dense_loss) if sparse else self._dense_loss
+
+        self._np_random: np.random.Generator | None = None
+        self._key: jax.Array | None = None
+        self._state = None
+        self._prev_done = np.zeros(num_envs, dtype=bool)
+
+        # Spaces (reference naming: single_* and batched).
+        self.single_observation_space = to_gym_space(env.observation_space(params))
+        self.single_action_space = to_gym_action_space(env, params)
+        self.single_prediction_space = to_gym_space(env.prediction_space(params))
+        self.single_prediction_target_space = to_gym_space(
+            env.prediction_target_space(params)
+        )
+        import gymnasium as gym
+
+        self.observation_space = gym.vector.utils.batch_space(
+            self.single_observation_space, num_envs
+        )
+        self.action_space = gym.vector.utils.batch_space(
+            self.single_action_space, num_envs
+        )
+
+        # ---- jitted device functions ----------------------------------
+        n = num_envs
+
+        @jax.jit
+        def jit_reset_native(key):
+            keys = jax.random.split(key, n)
+            return jax.vmap(env.reset_env, in_axes=(0, None))(keys, params)
+
+        @jax.jit
+        def jit_reset_draws(draws):
+            return reset_from_draws(env, draws, params)
+
+        @jax.jit
+        def jit_raw_step(key, state, action, prediction, step_draws):
+            keys = jax.random.split(key, n)
+            r = jax.vmap(env.step_env, in_axes=(0, 0, 0, 0, None))(
+                keys, state, action, prediction, params
+            )
+            return apply_step_draws(env, r, step_draws, params)
+
+        @jax.jit
+        def jit_target_on_reset(old_state, new_state):
+            return jax.vmap(
+                lambda o, s: env.prediction_target_on_reset(o, s, params)
+            )(old_state, new_state)
+
+        @jax.jit
+        def jit_autoreset_native(key, old_state):
+            keys = jax.random.split(key, n)
+            return jax.vmap(env.autoreset_env, in_axes=(0, 0, None))(
+                keys, old_state, params
+            )
+
+        @jax.jit
+        def jit_merge(mask, reset_triple, raw):
+            def sel(a, b):
+                return jax.tree_util.tree_map(
+                    lambda x, y: jnp.where(
+                        mask.reshape(mask.shape + (1,) * (x.ndim - 1)), x, y
+                    ),
+                    a,
+                    b,
+                )
+
+            robs, rstate, rinfo = reset_triple
+            obs = sel(robs, raw.obs)
+            state = sel(rstate, raw.state)
+            info = sel(rinfo, raw.info) if set(rinfo) == set(raw.info) else raw.info
+            base_reward = jnp.where(mask, 0.0, raw.base_reward)
+            term = jnp.where(mask, False, raw.terminated)
+            trunc = jnp.where(mask, False, raw.truncated)
+            return obs, state, base_reward, term, trunc, info
+
+        self._jit_reset_native = jit_reset_native
+        self._jit_reset_draws = jit_reset_draws
+        self._jit_raw_step = jit_raw_step
+        self._jit_target_on_reset = jit_target_on_reset
+        self._jit_autoreset_native = jit_autoreset_native
+        self._jit_merge = jit_merge
+
+    # ------------------------------------------------------------------
+    @property
+    def loss_fn(self):
+        from .loss_adapter import CompatLossFn
+
+        return CompatLossFn(self._loss)
+
+    def _ensure_rng(self, seed):
+        if seed is not None or (self._np_random is None and self._key is None):
+            if self.rng == "reference":
+                from gymnasium.utils import seeding
+
+                self._np_random, _ = seeding.np_random(seed)
+                self.shim.seed(self._np_random)
+            else:
+                self._key = jax.random.PRNGKey(0 if seed is None else seed)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def reset(self, *, seed: int | None = None, options: dict | None = None):
+        self._ensure_rng(seed)
+        if self.rng == "reference":
+            draws = self.shim.reset_draws()
+            obs, state, info = self._jit_reset_draws(draws)
+        else:
+            obs, state, info = self._jit_reset_native(self._next_key())
+        self._state = state
+        self._prev_done = np.zeros(self.num_envs, dtype=bool)
+        return _np_tree(obs), _np_tree(info)
+
+    # ------------------------------------------------------------------
+    def _compose(self, pred, base_reward, term, trunc, info, target, reset_mask):
+        """Host loss composition mirroring active_perception_vector_env.py:
+        84-111 (+ Sparsify's recomputation, sparsify_wrapper.py:74-88)."""
+        base_reward = np.asarray(base_reward, dtype=np.float64)
+        target_np = _np_tree(target)
+        dense = self._dense_loss.numpy(np.asarray(pred), target_np)
+        if self.sparse:
+            weight = np.asarray(term, dtype=np.float32)
+            wrapped_target = {"target": target_np, "weight": weight}
+            loss_for_reward = dense * weight
+            info_target = wrapped_target
+        else:
+            loss_for_reward = dense
+            info_target = target_np
+        if reset_mask is not None and self.autoreset == "next_step":
+            loss_for_reward = np.where(reset_mask, 0.0, loss_for_reward)
+            dense = np.where(reset_mask, 0.0, dense)
+            base_reward = np.where(reset_mask, 0.0, base_reward)
+        reward = base_reward - loss_for_reward
+        info = {
+            **_np_tree(info),
+            "base_reward": base_reward,
+            "prediction": {"target": info_target, "loss": dense},
+        }
+        return reward, info
+
+    def step(self, actions: dict[str, Any]):
+        action = np.asarray(actions["action"], dtype=np.float32)
+        pred = actions["prediction"]
+
+        if self.autoreset == "lockstep" and self._prev_done.all():
+            # Lockstep reset step (image_perception_module.py:197-202 +
+            # active_perception_vector_env.py:84-111): base 0, not done,
+            # loss vs the env-specific reset target.
+            old_state = self._state
+            if self.rng == "reference":
+                draws = self.shim.autoreset_draws()
+                obs, state, info = self._jit_reset_draws(draws)
+            else:
+                obs, state, info = self._jit_autoreset_native(
+                    self._next_key(), old_state
+                )
+            target = self._jit_target_on_reset(old_state, state)
+            self._state = state
+            self._prev_done = np.zeros(self.num_envs, dtype=bool)
+            zeros = np.zeros(self.num_envs, dtype=np.float64)
+            falses = np.zeros(self.num_envs, dtype=bool)
+            reward, info = self._compose(
+                pred, zeros, falses, falses, info, target, None
+            )
+            return _np_tree(obs), reward, falses, falses, info
+
+        step_draws = self.shim.step_draws() if self.rng == "reference" else None
+        key = jax.random.PRNGKey(0) if self.rng == "reference" else self._next_key()
+        raw = self._jit_raw_step(
+            key, self._state, jnp.asarray(action), jnp.asarray(np.asarray(pred)),
+            step_draws,
+        )
+
+        reset_mask = None
+        if self.autoreset == "next_step" and self._prev_done.any():
+            mask = jnp.asarray(self._prev_done)
+            if self.rng == "reference":
+                draws = self.shim.autoreset_draws()
+                reset_triple = self._jit_reset_draws(draws)
+            else:
+                reset_triple = self._jit_autoreset_native(
+                    self._next_key(), self._state
+                )
+            obs, state, base_reward, term, trunc, info = self._jit_merge(
+                mask, reset_triple, raw
+            )
+            reset_mask = self._prev_done
+            target = raw.prediction_target
+        else:
+            obs, state = raw.obs, raw.state
+            base_reward, term, trunc = raw.base_reward, raw.terminated, raw.truncated
+            info = raw.info
+            target = raw.prediction_target
+
+        self._state = state
+        term_np = np.asarray(term)
+        trunc_np = np.asarray(trunc)
+        self._prev_done = term_np | trunc_np
+        reward, info = self._compose(
+            pred, base_reward, term_np, trunc_np, info, target, reset_mask
+        )
+        return _np_tree(obs), reward, term_np, trunc_np, info
+
+    def render(self):
+        from ..render import render_env
+
+        return render_env(self.base, self._state, self.params)
+
+    def close(self):
+        pass
+
+
+class GymAPEnv:
+    """Single-env gymnasium-style adapter: a squeezed 1-env GymVectorAPEnv,
+    mirroring the reference's VectorToSingleWrapper construction for image
+    envs and plain envs for the rest."""
+
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 4}
+    render_mode = "rgb_array"
+    spec = None
+
+    def __init__(self, env, params, autoreset="lockstep", rng="reference",
+                 sparse=False):
+        self._vec = GymVectorAPEnv(
+            env, params, num_envs=1, autoreset=autoreset, rng=rng, sparse=sparse
+        )
+        self.observation_space = self._vec.single_observation_space
+        self.action_space = self._vec.single_action_space
+        self.prediction_space = self._vec.single_prediction_space
+        self.prediction_target_space = self._vec.single_prediction_target_space
+
+    @property
+    def loss_fn(self):
+        return self._vec.loss_fn
+
+    @property
+    def env(self):
+        return self._vec.env
+
+    @property
+    def params(self):
+        return self._vec.params
+
+    def reset(self, *, seed: int | None = None, options: dict | None = None):
+        obs, info = self._vec.reset(seed=seed, options=options)
+        return _squeeze_tree(obs), _squeeze_tree(info)
+
+    def step(self, action: dict[str, Any]):
+        batched = jax.tree_util.tree_map(
+            lambda x: np.asarray(x)[None], action
+        )
+        obs, reward, term, trunc, info = self._vec.step(batched)
+        return (
+            _squeeze_tree(obs),
+            float(reward[0]),
+            bool(term[0]),
+            bool(trunc[0]),
+            _squeeze_tree(info),
+        )
+
+    def render(self):
+        return self._vec.render()
+
+    def close(self):
+        pass

@@ -200,13 +200,14 @@ class ImagePerceptionEngine:
         )
 
     @staticmethod
-    def sample_unique_glimpse_position(
-        key: jax.Array, state: ImagePerceptionState, params: ImagePerceptionParams
-    ) -> jax.Array:
-        """Single-env unique-target draw. The pairwise uniqueness score is a
-        Gram-matrix computation that runs on the MXU:
-        mse(a,b) = (|a|^2 + |b|^2 - 2 a.b) / d."""
-        candidates, max_cell = ImagePerceptionEngine.candidate_grid(params)
+    def unique_target_top_k(
+        state: ImagePerceptionState, params: ImagePerceptionParams
+    ) -> jnp.ndarray:
+        """(top_k,) candidate indices ranked by uniqueness. The pairwise MSE
+        score is a Gram-matrix computation that runs on the MXU:
+        mse(a,b) = (|a|^2 + |b|^2 - 2 a.b) / d. Ranking mirrors the
+        reference's argsort(-uniqueness) (module.py:276-278)."""
+        candidates, _ = ImagePerceptionEngine.candidate_grid(params)
         p = candidates.shape[0]
         glimpses = jax.vmap(
             lambda pos: ImagePerceptionEngine.get_glimpse(state, pos, params)
@@ -218,11 +219,31 @@ class ImagePerceptionEngine:
         diff = (sq[:, None] + sq[None, :] - 2.0 * gram) / d
         diff = diff + jnp.diag(jnp.full((p,), jnp.inf, dtype=diff.dtype))
         uniqueness = jnp.min(diff, axis=-1)
-        _, top_idx = jax.lax.top_k(uniqueness, params.unique_sampling_top_k)
+        return jnp.argsort(-uniqueness)[: params.unique_sampling_top_k]
+
+    @staticmethod
+    def unique_target_from_draws(
+        state: ImagePerceptionState,
+        sel: jax.Array,
+        jitter: jax.Array,
+        params: ImagePerceptionParams,
+    ) -> jax.Array:
+        """Resolve a unique-target draw (selection index + jitter) into a
+        position — the device half of module.py:278-292; the rng half lives
+        with the caller (jax key or host shim)."""
+        candidates, _ = ImagePerceptionEngine.candidate_grid(params)
+        top_idx = ImagePerceptionEngine.unique_target_top_k(state, params)
+        base = candidates[top_idx[sel]]
+        return jnp.clip(base + jitter, -1.0, 1.0).astype(jnp.float32)
+
+    @staticmethod
+    def sample_unique_glimpse_position(
+        key: jax.Array, state: ImagePerceptionState, params: ImagePerceptionParams
+    ) -> jax.Array:
+        _, max_cell = ImagePerceptionEngine.candidate_grid(params)
         k_sel, k_jit = jax.random.split(key)
         sel = jax.random.randint(k_sel, (), 0, params.unique_sampling_top_k)
-        base = candidates[top_idx[sel]]
-        jitter = jax.random.uniform(
-            k_jit, (2,), minval=-max_cell, maxval=max_cell
+        jitter = jax.random.uniform(k_jit, (2,), minval=-max_cell, maxval=max_cell)
+        return ImagePerceptionEngine.unique_target_from_draws(
+            state, sel, jitter, params
         )
-        return jnp.clip(base + jitter, -1.0, 1.0).astype(jnp.float32)

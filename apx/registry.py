@@ -130,24 +130,25 @@ def _build_registry() -> dict[str, EnvEntry]:
     for sfx, size, grad, t in cs_families:
         _register(reg, EnvEntry(
             env_id=f"CircleSquare{sfx}-v0",
-            build=lambda size=size, grad=grad: ImageClassificationEnv(
-                dataset=_circle_square_bank(size, grad)
+            build=lambda size=size, grad=grad, t=t: ImageClassificationEnv(
+                dataset=_circle_square_bank(size, grad), step_limit=t
             ),
             step_limit=t, metrics="classification", autoreset=LS,
             description="Classify whether the image contains a circle or a square.",
         ))
         _register(reg, EnvEntry(
             env_id=f"CircleSquareInverted{sfx}-v0",
-            build=lambda size=size, grad=grad: ImageClassificationEnv(
-                dataset=_circle_square_bank(size, grad), randomly_invert_labels=True
+            build=lambda size=size, grad=grad, t=t: ImageClassificationEnv(
+                dataset=_circle_square_bank(size, grad), step_limit=t,
+                randomly_invert_labels=True
             ),
             step_limit=t, metrics="classification", autoreset=LS,
             description="CircleSquare with per-episode random label inversion.",
         ))
         _register(reg, EnvEntry(
             env_id=f"DoubleCircleSquare{sfx}-v0",
-            build=lambda size=size, grad=grad: ImageClassificationEnv(
-                dataset=_double_circle_square_ds(size, grad)
+            build=lambda size=size, grad=grad, t=t: ImageClassificationEnv(
+                dataset=_double_circle_square_ds(size, grad), step_limit=t
             ),
             step_limit=t, metrics="classification", autoreset=LS,
             description="Two objects; classify two-squares / two-circles / mixed.",
@@ -160,7 +161,9 @@ def _build_registry() -> dict[str, EnvEntry]:
     ]:
         _register(reg, EnvEntry(
             env_id=env_id,
-            build=lambda: ImageClassificationEnv(dataset=_circle_square_bank(28, True)),
+            build=lambda: ImageClassificationEnv(
+                dataset=_circle_square_bank(28, True), step_limit=32
+            ),
             step_limit=32, metrics="classification" if not mask else None,
             autoreset=LS,
             vector_wrapper=lambda v, mask=mask: CircleSquareHideAndSeek(

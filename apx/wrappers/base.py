@@ -52,6 +52,11 @@ class APWrapper(APEnv):
     def autoreset_env(self, key, old_state, params):
         return self.env.autoreset_env(key, old_state, params)
 
+    def wrap_reset(self, obs, state, info, params):
+        """Lift an inner reset result through this wrapper (used by the
+        compat layer to rebuild wrapped states from host-drawn resets)."""
+        return obs, state, info
+
     def prediction_target_on_reset(self, old_state, new_state, params):
         return self.env.prediction_target_on_reset(old_state, new_state, params)
 

@@ -74,10 +74,13 @@ class TimeLimit(APWrapper):
         return {"observation": obs, "time_step": time_obs}
 
     # ---- dynamics -----------------------------------------------------------
-    def reset_env(self, key, params):
-        obs, state, info = self.env.reset_env(key, params)
+    def wrap_reset(self, obs, state, info, params):
         t = jnp.zeros((), dtype=jnp.int32)
         return self._wrap_obs(obs, t), TimeLimitState(inner=state, t=t), info
+
+    def reset_env(self, key, params):
+        obs, state, info = self.env.reset_env(key, params)
+        return self.wrap_reset(obs, state, info, params)
 
     def autoreset_env(self, key, old_state, params):
         obs, state, info = self.env.autoreset_env(key, old_state.inner, params)

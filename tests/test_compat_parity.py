@@ -1,0 +1,145 @@
+"""Golden-trajectory parity: apx.compat vs the reference under fixed seeds.
+
+Covers the SURVEY §4(b) strategy: run the reference (importable here —
+image envs and LightDark have no shapely dependency) and assert the compat
+layer reproduces (obs, reward, terminated, truncated, info) sequences.
+Integer/boolean channels must match exactly; float channels to f32
+tolerance (the reference interpolates in float64, SURVEY §7 hard-part 2).
+"""
+
+import numpy as np
+import pytest
+
+from conftest import load_reference_ap_gym
+
+import jax  # noqa: F401  (conftest pins the cpu backend)
+import apx.compat as apc
+
+
+def _cmp(a, b, path, step, env_id):
+    if isinstance(a, dict):
+        assert set(a) == set(b), (env_id, step, path, set(a), set(b))
+        for k in a:
+            _cmp(a[k], b[k], f"{path}/{k}", step, env_id)
+    elif (isinstance(a, (list, tuple)) and not isinstance(a, np.ndarray)) or (
+        isinstance(a, np.ndarray) and a.dtype == object
+    ):
+        assert len(a) == len(b), (env_id, step, path)
+        for j, (x, y) in enumerate(zip(a, b)):
+            _cmp(x, y, f"{path}[{j}]", step, env_id)
+    else:
+        aa = np.asarray(a, np.float64)
+        bb = np.asarray(b, np.float64)
+        assert aa.shape == bb.shape, (env_id, step, path, aa.shape, bb.shape)
+        np.testing.assert_allclose(
+            aa, bb, atol=2e-5, rtol=1e-4, equal_nan=True,
+            err_msg=f"{env_id} step {step} at {path}",
+        )
+
+
+def _rollout_compare(ref, mine, env_id, steps=40, seed=123, reseed_on_done=False):
+    rng = np.random.default_rng(42)
+    ro, ri = ref.reset(seed=seed)
+    mo, mi = mine.reset(seed=seed)
+    _cmp(ro, mo, "obs", -1, env_id)
+    _cmp(ri, mi, "info", -1, env_id)
+    pred_shape = ref.prediction_space.shape
+    for t in range(steps):
+        a = {
+            "action": rng.uniform(-1, 1, 2).astype(np.float32),
+            "prediction": rng.normal(size=pred_shape).astype(np.float32),
+        }
+        r_obs, r_rew, r_term, r_trunc, r_info = ref.step(a)
+        m_obs, m_rew, m_term, m_trunc, m_info = mine.step(a)
+        _cmp(r_obs, m_obs, "obs", t, env_id)
+        _cmp(np.float64(r_rew), np.float64(m_rew), "reward", t, env_id)
+        assert bool(r_term) == bool(m_term), (env_id, t, "terminated")
+        assert bool(r_trunc) == bool(m_trunc), (env_id, t, "truncated")
+        _cmp(r_info, m_info, "info", t, env_id)
+        if reseed_on_done and (r_term or r_trunc):
+            ro, _ = ref.reset()
+            mo, _ = mine.reset()
+            _cmp(ro, mo, "reset-obs", t, env_id)
+
+
+@pytest.fixture(scope="module")
+def ref_ap():
+    ap = load_reference_ap_gym()
+    if ap is None:
+        pytest.skip("reference not importable")
+    return ap
+
+
+@pytest.mark.parametrize(
+    "env_id,steps",
+    [
+        ("CircleSquare-v0", 40),       # spans 2 lockstep autoresets
+        ("CircleSquare-s15-v0", 20),
+        ("CircleSquareInverted-v0", 40),  # inversion draw chain
+        ("DoubleCircleSquare-s15-v0", 20),  # on-device image synthesis
+        ("CircleSquare-t32-v0", 36),
+    ],
+    ids=lambda x: x if isinstance(x, str) else "",
+)
+def test_image_classification_parity(ref_ap, env_id, steps):
+    _rollout_compare(ref_ap.make(env_id), apc.make(env_id), env_id, steps=steps)
+
+
+def test_sparse_parity_vector(ref_ap):
+    """Single-env sparse envs are broken in the reference itself
+    (SparsifyWrapper.reset KeyErrors on the missing info["prediction"],
+    sparsify_wrapper.py:125-132), so sparse parity is checked through the
+    vector path, which the reference supports."""
+    env_id = "CircleSquare-sparse-v0"
+    ref = ref_ap.make_vec(env_id, num_envs=2)
+    mine = apc.make_vec(env_id, num_envs=2)
+    rng = np.random.default_rng(42)
+    ro, ri = ref.reset(seed=123)
+    mo, mi = mine.reset(seed=123)
+    _cmp(ro, mo, "obs", -1, env_id)
+    for t in range(40):
+        a = {
+            "action": rng.uniform(-1, 1, (2, 2)).astype(np.float32),
+            "prediction": rng.normal(size=(2, 2)).astype(np.float32),
+        }
+        r_obs, r_rew, r_term, r_trunc, r_info = ref.step(a)
+        m_obs, m_rew, m_term, m_trunc, m_info = mine.step(a)
+        _cmp(r_obs, m_obs, "obs", t, env_id)
+        _cmp(r_rew, m_rew, "reward", t, env_id)
+        np.testing.assert_array_equal(np.asarray(r_term), np.asarray(m_term))
+        _cmp(r_info, m_info, "info", t, env_id)
+
+
+def test_light_dark_parity(ref_ap):
+    _rollout_compare(
+        ref_ap.make("LightDark-v0"), apc.make("LightDark-v0"),
+        "LightDark-v0", steps=60, reseed_on_done=True,
+    )
+
+
+def test_image_localization_parity(ref_ap):
+    """No registered localization env is runnable offline (all HF-backed),
+    so build both sides directly on the procedural CircleSquare dataset —
+    this exercises the unique-target sampler, the target_glimpse obs, and
+    the uniform-resample-on-autoreset path."""
+    import ap_gym
+    from ap_gym.envs.image import CircleSquareDataset, ImagePerceptionConfig
+    from ap_gym.envs.image_localization import ImageLocalizationVectorEnv
+
+    ref_vec = ImageLocalizationVectorEnv(
+        1, ImagePerceptionConfig(dataset=CircleSquareDataset((28, 28)), step_limit=16)
+    )
+    ref = ap_gym.ActiveRegressionLogWrapper(
+        ap_gym.ActivePerceptionVectorToSingleWrapper(ref_vec)
+    )
+
+    from apx.compat.gym_env import GymAPEnv
+    from apx.compat.log import RegressionLogWrapper
+    from apx.data.circle_square import make_circle_square_bank
+    from apx.envs.image_localization import ImageLocalizationEnv
+
+    env = ImageLocalizationEnv(dataset=make_circle_square_bank((28, 28)))
+    mine = RegressionLogWrapper(
+        GymAPEnv(env, env.default_params(), autoreset="lockstep", rng="reference")
+    )
+    _rollout_compare(ref, mine, "CircleSquareLoc(custom)", steps=40)
