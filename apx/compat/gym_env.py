@@ -78,6 +78,9 @@ class GymVectorAPEnv:
         self._key: jax.Array | None = None
         self._state = None
         self._prev_done = np.zeros(num_envs, dtype=bool)
+        from ..render import RenderTracker
+
+        self._tracker = RenderTracker()
 
         # Spaces (reference naming: single_* and batched).
         self.single_observation_space = to_gym_space(env.observation_space(params))
@@ -185,7 +188,14 @@ class GymVectorAPEnv:
             obs, state, info = self._jit_reset_native(self._next_key())
         self._state = state
         self._prev_done = np.zeros(self.num_envs, dtype=bool)
-        return _np_tree(obs), _np_tree(info)
+        obs_np = _np_tree(obs)
+        from .builders import unwrap_state
+        from .render_hooks import update_tracker_reset
+
+        update_tracker_reset(
+            self._tracker, self.base, self.params, obs_np, unwrap_state(state)
+        )
+        return obs_np, _np_tree(info)
 
     # ------------------------------------------------------------------
     def _compose(self, pred, base_reward, term, trunc, info, target, reset_mask):
@@ -268,6 +278,11 @@ class GymVectorAPEnv:
             info = raw.info
             target = raw.prediction_target
 
+        from .builders import unwrap_state
+
+        prev_pos = None
+        if hasattr(unwrap_state(self._state), "pos"):
+            prev_pos = np.asarray(unwrap_state(self._state).pos)[0]
         self._state = state
         term_np = np.asarray(term)
         trunc_np = np.asarray(trunc)
@@ -275,12 +290,19 @@ class GymVectorAPEnv:
         reward, info = self._compose(
             pred, base_reward, term_np, trunc_np, info, target, reset_mask
         )
-        return _np_tree(obs), reward, term_np, trunc_np, info
+        obs_np = _np_tree(obs)
+        from .render_hooks import update_tracker_step
+
+        update_tracker_step(
+            self._tracker, self.base, self.params, actions, obs_np, info,
+            unwrap_state(state), prev_pos,
+        )
+        return obs_np, reward, term_np, trunc_np, info
 
     def render(self):
         from ..render import render_env
 
-        return render_env(self.base, self._state, self.params)
+        return render_env(self.base, self._state, self.params, self._tracker)
 
     def close(self):
         pass

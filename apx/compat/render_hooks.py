@@ -1,0 +1,132 @@
+"""Render bookkeeping for the compat adapter (env 0 of the batch).
+
+Mirrors the reference's per-step render state updates: the visitation /
+prediction-quality overlay of image envs (image_perception_module.py:
+219-234), LightDark's trajectory/obs markers (light_dark.py:146-149), and
+LIDAR's fog-of-war observation map (lidar_localization2d.py:238-261).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.special
+
+from ..envs.image_classification import ImageClassificationEnv
+from ..envs.image_localization import ImageLocalizationEnv
+from ..envs.lidar_localization import LIDARLocalizationEnv
+from ..envs.light_dark import LightDarkEnv
+from ..render import RenderTracker
+from ..render.render import _render_geometry, _to_render_coords
+
+__all__ = ["update_tracker_reset", "update_tracker_step"]
+
+
+def _image_geom(params):
+    h, w, _ = params.dataset.image_shape
+    return _render_geometry((h, w), params.sensor_size, params.sensor_scale)
+
+
+def update_tracker_reset(tracker: RenderTracker, base_env, params, obs0, state0):
+    tracker.reset()
+    if isinstance(base_env, (ImageClassificationEnv, ImageLocalizationEnv)):
+        render_size, _, _, _ = _image_geom(params)
+        tracker.visitation = np.zeros((render_size[1], render_size[0]), np.int32)
+        tracker.quality_map = np.zeros((render_size[1], render_size[0]), np.float32)
+    elif isinstance(base_env, LIDARLocalizationEnv):
+        occ = np.asarray(_first(state0.occ))
+        tracker.observation_map = np.zeros_like(occ, dtype=bool)
+        _update_lidar_fog(tracker, occ, _first(state0.pos),
+                          np.asarray(_first(obs0["lidar"])) * params.lidar_range,
+                          params)
+        tracker.last_lidar = np.asarray(_first(obs0["lidar"])) * params.lidar_range
+    elif isinstance(base_env, LightDarkEnv):
+        tracker.last_obs = np.asarray(_first(obs0["noisy_position"]))
+
+
+def _first(x):
+    a = np.asarray(x)
+    return a[0]
+
+
+def update_tracker_step(
+    tracker: RenderTracker, base_env, params, action, obs, info, state, prev_pos
+):
+    pred = np.asarray(action["prediction"])
+    if pred.ndim:
+        pred0 = pred[0] if pred.ndim > 1 else pred
+    else:
+        pred0 = pred
+
+    if isinstance(base_env, (ImageClassificationEnv, ImageLocalizationEnv)):
+        pos = _first(obs["glimpse_pos"])
+        target = info["prediction"]["target"]
+        if isinstance(target, dict):
+            target = target["target"]
+        target = np.asarray(target)[0] if np.asarray(target).ndim else target
+        if isinstance(base_env, ImageClassificationEnv):
+            probs = scipy.special.softmax(pred0)
+            quality = float(probs[int(np.asarray(target).flat[0])])
+        else:
+            quality = float(
+                1 - np.linalg.norm(pred0 - np.asarray(target)) / np.sqrt(4)
+            )
+            tracker.last_pred = pred0
+        _update_visitation(tracker, params, pos, quality)
+        tracker.trajectory.append((pos.copy(), quality))
+        tracker.last_pos = pos
+    elif isinstance(base_env, LightDarkEnv):
+        target = np.asarray(info["prediction"]["target"])
+        t0 = target[0] if target.ndim > 1 else target
+        quality = float(max(1 - np.linalg.norm(pred0 - t0) / 0.5, 0))
+        tracker.last_pred = pred0
+        tracker.last_pos = t0  # previous position (the loss target)
+        tracker.trajectory.append((t0.copy(), quality))
+        tracker.last_obs = _first(obs["noisy_position"])
+    elif isinstance(base_env, LIDARLocalizationEnv):
+        occ = np.asarray(_first(state.occ))
+        pos = _first(state.pos)
+        size = np.array([occ.shape[1], occ.shape[0]], np.float64)
+        target = np.asarray(info["prediction"]["target"])
+        t0 = target[0] if target.ndim > 1 else target
+        quality = float(min(1 - np.linalg.norm(pred0 - t0) / 0.25, 1))
+        tracker.last_pred = (pred0 + 1) / 2 * size
+        tracker.last_pos = prev_pos
+        tracker.trajectory.append((np.asarray(prev_pos, np.float64), quality))
+        dist = np.asarray(_first(obs["lidar"])) * params.lidar_range
+        tracker.last_lidar = dist
+        if tracker.observation_map is None or tracker.observation_map.shape != occ.shape:
+            tracker.observation_map = np.zeros_like(occ, dtype=bool)
+        _update_lidar_fog(tracker, occ, pos, dist, params)
+
+
+def _update_visitation(tracker, params, pos_norm, quality):
+    if tracker.visitation is None:
+        return
+    render_size, scaling, eff, lim = _image_geom(params)
+    c = _to_render_coords(np.asarray(pos_norm), render_size, scaling, lim)
+    half = eff * scaling / 2
+    x0, y0 = np.clip((c - half).astype(int), 0, None)
+    x1 = min(int(c[0] + half[0]), render_size[0])
+    y1 = min(int(c[1] + half[1]), render_size[1])
+    tracker.visitation[y0:y1, x0:x1] += 1
+    tracker.quality_map[y0:y1, x0:x1] = quality
+
+
+def _update_lidar_fog(tracker, occ, pos, distances, params):
+    """Mark observed cells: scan points within each beam's measured range
+    (the reference's 'good enough' approximation, :249-261)."""
+    ang = np.linspace(-np.pi, np.pi, params.lidar_beam_count, endpoint=False)
+    dirs = np.stack([np.cos(ang), np.sin(ang)], axis=-1)
+    ts = np.arange(0, params.lidar_range, 0.05)
+    pts = pos[None, None, :] + ts[None, :, None] * dirs[:, None, :]
+    within = ts[None, :] <= np.asarray(distances)[:, None]
+    cells = np.floor(pts).astype(int)
+    ok = (
+        within
+        & (cells[..., 0] >= 0)
+        & (cells[..., 0] < occ.shape[1])
+        & (cells[..., 1] >= 0)
+        & (cells[..., 1] < occ.shape[0])
+    )
+    sel = cells[ok]
+    tracker.observation_map[sel[:, 1], sel[:, 0]] = True

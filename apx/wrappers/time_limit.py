@@ -52,6 +52,10 @@ class TimeLimit(APWrapper):
         time_space = Box(low=-1.0, high=1.0, shape=())
         if isinstance(inner, DictSpace):
             return DictSpace({**inner.spaces, "time_step": time_space})
+        from ..core.spaces import TupleSpace
+
+        if isinstance(inner, TupleSpace):
+            return TupleSpace((*inner.spaces, time_space))
         if isinstance(inner, Box) and len(inner.shape) == 1:
             return Box(
                 low=jnp.concatenate([jnp.broadcast_to(inner.low, inner.shape), jnp.array([-1.0])]),
@@ -69,6 +73,8 @@ class TimeLimit(APWrapper):
         time_obs = self._time_obs(t)
         if isinstance(obs, dict):
             return {**obs, "time_step": time_obs}
+        if isinstance(obs, tuple):
+            return (*obs, time_obs)
         if isinstance(obs, jax.Array) and obs.ndim == 1:
             return jnp.concatenate([obs, time_obs[None]])
         return {"observation": obs, "time_step": time_obs}
