@@ -78,11 +78,14 @@ def _base_reset_from_draws(base, draws: dict[str, Any], params):
         return {"noisy_position": noisy.astype(jnp.float32)}, state, {}
 
     if isinstance(base, LIDARLocalizationEnv):
+        from ..ops.raycast import pad_occupancy
+
         occ = jnp.asarray(draws["occ"])
         pos = jnp.asarray(draws["pos"], jnp.float32)
         n = occ.shape[0]
         state = LIDARLocalizationState(
             occ=occ,
+            occ_padded=jax.vmap(lambda o: pad_occupancy(o, params.ray_pad))(occ),
             bank_pos=jnp.zeros((n,), jnp.int32),
             pos=pos,
             initial_pos=pos,

@@ -12,3 +12,11 @@ from .circle_square import (
     double_circle_square_positions,
     make_circle_square_bank,
 )
+from .stream import (
+    BankRotator,
+    BufferedIterator,
+    DataLoader,
+    DatasetBatchIterator,
+    DatasetIterator,
+)
+from .huggingface import load_hf_image_bank, synthetic_image_bank

@@ -150,7 +150,10 @@ class MapBank(struct.PyTreeNode):
         return jnp.take(self.maps, bank_idx, axis=0)
 
 
-def _make_bank(gen, num_maps: int, seed: int | None, explicit_indices) -> MapBank:
+def _make_bank(
+    gen, num_maps: int, seed: int | None, explicit_indices, native_gen=None,
+    backend: str = "auto",
+) -> MapBank:
     if explicit_indices is not None:
         indices = np.asarray(explicit_indices, dtype=np.uint64)
     elif seed is None:
@@ -161,7 +164,21 @@ def _make_bank(gen, num_maps: int, seed: int | None, explicit_indices) -> MapBan
         indices = np.random.default_rng(seed).integers(
             0, 2**32, size=num_maps, endpoint=True, dtype=np.uint64
         )
-    maps = np.stack([gen(int(i)) for i in indices])
+    if backend not in ("auto", "native", "python"):
+        raise ValueError(f"unknown backend {backend!r}")
+    use_native = False
+    if native_gen is not None and backend in ("auto", "native"):
+        from .native import native_available
+
+        use_native = native_available()
+        if backend == "native" and not use_native:
+            raise RuntimeError("native map generator unavailable")
+    if use_native:
+        # C++ bank generation (~700x the Python generator; own pcg32
+        # streams — use backend="python" for NumPy-draw reference parity).
+        maps = native_gen(indices)
+    else:
+        maps = np.stack([gen(int(i)) for i in indices])
     free = (~maps).reshape(maps.shape[0], -1).sum(axis=-1).astype(np.int32)
     return MapBank(
         maps=jnp.asarray(maps),
@@ -177,12 +194,24 @@ def make_maze_bank(
     branching_prob: float = 1.0,
     seed: int | None = 0,
     indices=None,
+    backend: str = "python",
 ) -> MapBank:
+    """backend="python" (default) matches the reference's NumPy draws
+    bitwise; backend="native"/"auto" uses the C++ generator (~700x faster,
+    same map family, different per-index maps)."""
+
+    def native_gen(idx):
+        from .native import generate_maze_bank_native
+
+        return generate_maze_bank_native(idx, width, height, branching_prob)
+
     return _make_bank(
         lambda i: generate_maze_map(i, width, height, branching_prob),
         num_maps,
         seed,
         indices,
+        native_gen=native_gen,
+        backend=backend,
     )
 
 
@@ -194,10 +223,20 @@ def make_rooms_bank(
     door_width: int = 3,
     seed: int | None = 0,
     indices=None,
+    backend: str = "python",
 ) -> MapBank:
+    """See make_maze_bank for backend semantics."""
+
+    def native_gen(idx):
+        from .native import generate_rooms_bank_native
+
+        return generate_rooms_bank_native(idx, width, height, max_rooms, door_width)
+
     return _make_bank(
         lambda i: generate_rooms_map(i, width, height, max_rooms, door_width),
         num_maps,
         seed,
         indices,
+        native_gen=native_gen,
+        backend=backend,
     )

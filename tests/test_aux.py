@@ -1,0 +1,150 @@
+"""Auxiliary subsystems: streaming, NaN checks, pseudo-AP adapter, tools."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from apx.data.stream import (
+    BankRotator,
+    BufferedIterator,
+    DataLoader,
+    DatasetBatchIterator,
+    DatasetIterator,
+)
+
+
+class _ListDataset:
+    def __init__(self, items):
+        self.items = list(items)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, np.ndarray):
+            return [self.items[int(i)] for i in idx]
+        return self.items[idx]
+
+
+def test_dataset_iterators_draw_like_reference():
+    ds = _ListDataset(range(100))
+    it = DatasetIterator(ds, seed=5)
+    ref = np.random.default_rng(5)
+    for _ in range(10):
+        item, idx = next(it)
+        assert idx == ref.integers(0, 100)
+        assert item == idx
+    bit = DatasetBatchIterator(ds, batch_size=4, seed=7)
+    ref = np.random.default_rng(7)
+    batch, idx = next(bit)
+    np.testing.assert_array_equal(idx, ref.integers(0, 100, 4))
+
+
+def test_buffered_iterator_prefetch_and_exceptions():
+    def gen():
+        yield from range(5)
+        raise RuntimeError("stream over")
+
+    buf = BufferedIterator(iter(gen()), buffer_size=2)
+    assert [next(buf) for _ in range(5)] == list(range(5))
+    with pytest.raises(RuntimeError, match="stream over"):
+        next(buf)
+    buf.close()
+
+    loader = DataLoader(DatasetIterator(_ListDataset(range(10)), seed=0))
+    item, idx = next(loader)
+    assert 0 <= idx < 10
+    loader.close()
+
+
+def test_bank_rotator():
+    counter = {"n": 0}
+
+    def loader():
+        counter["n"] += 1
+        return np.full((4,), counter["n"], dtype=np.int32)
+
+    rot = BankRotator(loader)
+    first = np.asarray(rot.swap())
+    second = np.asarray(rot.swap())
+    assert first[0] != second[0]
+    rot.close()
+
+
+def test_checked_step_raises_on_nan():
+    from apx.core.checks import checked_step
+    from apx.envs.light_dark import LightDarkEnv
+
+    env = LightDarkEnv()
+    params = env.default_params()
+    key = jax.random.PRNGKey(0)
+    obs, state, _ = env.reset(key, params)
+    step = checked_step(env.step)
+    good = {"action": jnp.zeros(2), "prediction": jnp.zeros(2)}
+    step(key, state, good, params)  # no error
+    bad = {"action": jnp.array([jnp.nan, 0.0]), "prediction": jnp.zeros(2)}
+    with pytest.raises(Exception, match="NaN values detected in action"):
+        step(key, state, bad, params)
+
+
+def test_pseudo_active_perception_env():
+    from flax import struct
+
+    from apx.core.env import AutoResetMode, vmap_vector_env
+    from apx.core.spaces import Box
+    from apx.wrappers.pseudo import PseudoActivePerceptionEnv
+
+    class PlainState(struct.PyTreeNode):
+        x: jax.Array
+
+    class PlainEnv:
+        def default_params(self, **kw):
+            return ()
+
+        def observation_space(self, params):
+            return Box(low=-1.0, high=1.0, shape=(1,))
+
+        def action_space(self, params):
+            return Box(low=-1.0, high=1.0, shape=(1,))
+
+        def reset_env(self, key, params):
+            s = PlainState(x=jnp.zeros(1))
+            return s.x, s, {}
+
+        def plain_step(self, key, state, action, params):
+            s = PlainState(x=jnp.clip(state.x + action, -1, 1))
+            term = jnp.any(jnp.abs(s.x) >= 1.0)
+            return s.x, s, 1.0, term, jnp.zeros((), bool), {}
+
+    env = PseudoActivePerceptionEnv(PlainEnv())
+    params = env.default_params()
+    assert env.prediction_space(params).spaces == ()
+    key = jax.random.PRNGKey(0)
+    obs, state, _ = env.reset(key, params)
+    full = {"action": jnp.array([0.5]), "prediction": ()}
+    obs, state, r, te, tr, info = env.step(key, state, full, params)
+    assert float(r) == 1.0  # ZeroLossFn: reward == base_reward
+    assert info["prediction"]["target"] == ()
+
+    venv = vmap_vector_env(env, 4, AutoResetMode.NEXT_STEP)
+    obs, vs, _ = venv.reset(key, params)
+    full = {"action": jnp.full((4, 1), 0.5), "prediction": ()}
+    obs, vs, r, te, tr, info = venv.step(key, vs, full, params)
+    np.testing.assert_allclose(np.asarray(r), 1.0)
+
+
+def test_mk_env_doc(tmp_path):
+    from apx.tools.mk_env_doc import make_env_page
+
+    page = make_env_page("CircleSquare-s15-v0")
+    assert "# CircleSquare-s15-v0" in page
+    assert "Logits(2)" in page
+
+
+def test_create_env_vid(tmp_path):
+    from apx.tools.create_env_vid import create_env_vid
+
+    out = tmp_path / "vid.gif"
+    n = create_env_vid("LightDark-v0", str(out), steps=5, seed=0)
+    assert out.exists() and n == 6

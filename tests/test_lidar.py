@@ -258,3 +258,65 @@ def test_lidar_with_time_limit_and_sparsify():
     assert float(obs["time_step"]) == 1.0
     # Terminal step: weight 1 -> reward includes the loss.
     assert float(reward) < 0.1
+
+
+def test_windowed_raycast_matches_brute():
+    from apx.ops.raycast import pad_occupancy, raycast_grid_windowed
+
+    rng = np.random.default_rng(7)
+    occ = generate_rooms_map(11)
+    padded = jnp.asarray(pad_occupancy(jnp.asarray(occ), 6))
+    free_y, free_x = np.where(~occ)
+    dirs = np.asarray(lidar_directions(8)) * 5.0
+    for _ in range(20):
+        i = rng.integers(len(free_y))
+        origin = np.array([free_x[i], free_y[i]], np.float32) + rng.uniform(
+            0.05, 0.95, 2
+        ).astype(np.float32)
+        targets = (origin + dirs).astype(np.float32)
+        d_brute, _ = raycast_grid(jnp.asarray(occ), jnp.asarray(origin), jnp.asarray(targets))
+        d_win, _ = raycast_grid_windowed(
+            padded, 6, jnp.asarray(origin), jnp.asarray(targets), 6
+        )
+        np.testing.assert_allclose(np.asarray(d_brute), np.asarray(d_win), atol=1e-5)
+
+
+def test_native_map_generators():
+    from apx.data.native import native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    from apx.data.floor_map import make_maze_bank, make_rooms_bank
+
+    bank = make_maze_bank(num_maps=16, backend="native")
+    m = np.asarray(bank.maps)
+    assert m.shape == (16, 21, 21)
+    assert m[:, 0, :].all() and m[:, -1, :].all()
+    assert not m[:, 1, 1].any()  # start cell carved
+    # Deterministic by index.
+    bank2 = make_maze_bank(num_maps=16, backend="native")
+    np.testing.assert_array_equal(m, np.asarray(bank2.maps))
+    r = np.asarray(make_rooms_bank(num_maps=8, backend="native").maps)
+    assert r.shape == (8, 32, 32) and r[:, 0, :].all()
+    # Free space is connected (valid floor plan).
+    from collections import deque
+
+    for grid in (m[0], r[0]):
+        free = ~grid
+        ys, xs = np.where(free)
+        seen = np.zeros_like(free)
+        q = deque([(ys[0], xs[0])])
+        seen[ys[0], xs[0]] = True
+        while q:
+            y, x = q.popleft()
+            for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                ny, nx = y + dy, x + dx
+                if (
+                    0 <= ny < grid.shape[0]
+                    and 0 <= nx < grid.shape[1]
+                    and free[ny, nx]
+                    and not seen[ny, nx]
+                ):
+                    seen[ny, nx] = True
+                    q.append((ny, nx))
+        assert (seen == free).all()
