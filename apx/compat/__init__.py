@@ -49,16 +49,18 @@ def make(env_id: str, rng: str = "reference", log_wrapper: bool = True, **overri
     params = env.default_params(**overrides)
     lockstep = entry.autoreset in _LOCKSTEP_FAMILIES
     if entry.vector_wrapper is not None:
-        raise NotImplementedError(
-            f"{env_id}: hide-and-seek compat is vector-level; use make_vec"
+        # Hide-and-seek: single env = squeezed 1-env vector pipeline, like
+        # the reference (registration.py:482-489).
+        vec = make_vec(env_id, num_envs=1, rng=rng, log_wrapper=False, **overrides)
+        gym_env = GymAPEnv(vec=vec)
+    else:
+        gym_env = GymAPEnv(
+            env,
+            params,
+            autoreset="lockstep" if lockstep else "none",
+            rng=rng,
+            sparse=entry.sparse,
         )
-    gym_env = GymAPEnv(
-        env,
-        params,
-        autoreset="lockstep" if lockstep else "none",
-        rng=rng,
-        sparse=entry.sparse,
-    )
     if log_wrapper and entry.metrics == "classification":
         gym_env = ClassificationLogWrapper(gym_env)
     elif log_wrapper and entry.metrics == "regression":
@@ -77,10 +79,6 @@ def make_vec(
     env = entry.build()
     params = env.default_params(**overrides)
     lockstep = entry.autoreset in _LOCKSTEP_FAMILIES
-    if entry.vector_wrapper is not None:
-        raise NotImplementedError(
-            f"{env_id}: hide-and-seek compat wrapper not yet wired"
-        )
     gym_env = GymVectorAPEnv(
         env,
         params,
@@ -91,6 +89,17 @@ def make_vec(
         # parity would need one np_random per sub-env.
         sparse=entry.sparse,
     )
+    if entry.vector_wrapper is not None:
+        from .hide_and_seek import GymHideAndSeekWrapper
+        from ..envs.circle_square_hide_and_seek import CircleSquareHideAndSeek
+
+        functional = entry.vector_wrapper(None)
+        mask = (
+            functional.mask_prediction
+            if isinstance(functional, CircleSquareHideAndSeek)
+            else False
+        )
+        gym_env = GymHideAndSeekWrapper(gym_env, mask_prediction=mask)
     if log_wrapper and entry.metrics == "classification":
         gym_env = VectorClassificationLogWrapper(gym_env)
     elif log_wrapper and entry.metrics == "regression":

@@ -317,11 +317,12 @@ class GymAPEnv:
     render_mode = "rgb_array"
     spec = None
 
-    def __init__(self, env, params, autoreset="lockstep", rng="reference",
-                 sparse=False):
-        self._vec = GymVectorAPEnv(
+    def __init__(self, env=None, params=None, autoreset="lockstep",
+                 rng="reference", sparse=False, vec=None):
+        self._vec = vec if vec is not None else GymVectorAPEnv(
             env, params, num_envs=1, autoreset=autoreset, rng=rng, sparse=sparse
         )
+        assert self._vec.num_envs == 1
         self.observation_space = self._vec.single_observation_space
         self.action_space = self._vec.single_action_space
         self.prediction_space = self._vec.single_prediction_space

@@ -143,3 +143,41 @@ def test_image_localization_parity(ref_ap):
         GymAPEnv(env, env.default_params(), autoreset="lockstep", rng="reference")
     )
     _rollout_compare(ref, mine, "CircleSquareLoc(custom)", steps=40)
+
+
+def test_hide_and_seek_parity_vector(ref_ap):
+    env_id = "CircleSquareHideAndSeek-v0"
+    ref = ref_ap.make_vec(env_id, num_envs=2)
+    mine = apc.make_vec(env_id, num_envs=2)
+    rng = np.random.default_rng(42)
+    ro, ri = ref.reset(seed=123)
+    mo, mi = mine.reset(seed=123)
+    _cmp(ro, mo, "obs", -1, env_id)
+    for t in range(40):
+        a = {
+            "action": rng.uniform(-1, 1, (2, 2)).astype(np.float32),
+            "prediction": rng.normal(size=(2, 2)).astype(np.float32),
+        }
+        r_obs, r_rew, r_term, r_trunc, r_info = ref.step(a)
+        m_obs, m_rew, m_term, m_trunc, m_info = mine.step(a)
+        _cmp(r_obs, m_obs, "obs", t, env_id)
+        _cmp(r_rew, m_rew, "reward", t, env_id)
+        np.testing.assert_array_equal(np.asarray(r_term), np.asarray(m_term))
+        _cmp(r_info, m_info, "info", t, env_id)
+
+
+def test_hide_and_seek_masked_reference_reset_is_broken(ref_ap):
+    """The reference's masked variant crashes at reset (KeyError on the
+    missing info["prediction"], circle_square_catch_or_flee.py:60-61), so
+    end-to-end parity cannot be tested against it; apx's variant works
+    (behavior covered in test_registry.py) and this test documents the
+    reference bug so the divergence is auditable."""
+    ref = ref_ap.make_vec("CircleSquareHideAndSeekNoPrediction-v0", num_envs=2)
+    with pytest.raises(KeyError, match="prediction"):
+        ref.reset(seed=123)
+    mine = apc.make_vec("CircleSquareHideAndSeekNoPrediction-v0", num_envs=2)
+    mine.reset(seed=123)  # apx reset works
+    obs, rew, term, trunc, info = mine.step(
+        {"action": np.zeros((2, 2), np.float32), "prediction": ()}
+    )
+    assert info["prediction"]["target"] == ()
