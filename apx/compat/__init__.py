@@ -84,9 +84,8 @@ def make_vec(
         params,
         num_envs=num_envs,
         autoreset="lockstep" if lockstep else "next_step",
-        rng=rng if lockstep else "native",  # per-env rng chains only exist
-        # for the reference's native (lockstep) vector envs; SyncVectorEnv
-        # parity would need one np_random per sub-env.
+        rng=rng,  # next_step families use per-sub-env np_random chains
+        # matching the reference's SyncVectorEnv (seed+i per sub-env).
         sparse=entry.sparse,
     )
     if entry.vector_wrapper is not None:

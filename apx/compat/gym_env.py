@@ -170,8 +170,20 @@ class GymVectorAPEnv:
             if self.rng == "reference":
                 from gymnasium.utils import seeding
 
-                self._np_random, _ = seeding.np_random(seed)
-                self.shim.seed(self._np_random)
+                if self.autoreset == "next_step" and hasattr(
+                    self.shim, "seed_vector"
+                ):
+                    # SyncVectorEnv semantics: sub-env i is seeded seed+i
+                    # and draws from its own stream (SURVEY §3.5).
+                    rngs = [
+                        seeding.np_random(None if seed is None else seed + i)[0]
+                        for i in range(self.num_envs)
+                    ]
+                    self._np_random = rngs[0]
+                    self.shim.seed_vector(rngs)
+                else:
+                    self._np_random, _ = seeding.np_random(seed)
+                    self.shim.seed(self._np_random)
             else:
                 self._key = jax.random.PRNGKey(0 if seed is None else seed)
 
@@ -250,7 +262,22 @@ class GymVectorAPEnv:
             )
             return _np_tree(obs), reward, falses, falses, info
 
-        step_draws = self.shim.step_draws() if self.rng == "reference" else None
+        reset_draws_host = None
+        if self.rng == "reference":
+            if (
+                self.autoreset == "next_step"
+                and self._prev_done.any()
+                and hasattr(self.shim, "vector_draws")
+            ):
+                # Per-env conditional draws: each sub-env's stream advances
+                # only along its own (step vs reset) branch.
+                step_draws, reset_draws_host = self.shim.vector_draws(
+                    self._prev_done
+                )
+            else:
+                step_draws = self.shim.step_draws()
+        else:
+            step_draws = None
         key = jax.random.PRNGKey(0) if self.rng == "reference" else self._next_key()
         raw = self._jit_raw_step(
             key, self._state, jnp.asarray(action), jnp.asarray(np.asarray(pred)),
@@ -261,7 +288,11 @@ class GymVectorAPEnv:
         if self.autoreset == "next_step" and self._prev_done.any():
             mask = jnp.asarray(self._prev_done)
             if self.rng == "reference":
-                draws = self.shim.autoreset_draws()
+                draws = (
+                    reset_draws_host
+                    if reset_draws_host is not None
+                    else self.shim.autoreset_draws()
+                )
                 reset_triple = self._jit_reset_draws(draws)
             else:
                 reset_triple = self._jit_autoreset_native(

@@ -163,32 +163,92 @@ class ImageLocalizationShim(ImageShim):
 class LightDarkShim(HostShim):
     def seed(self, np_random):
         self.np_random = np_random
+        self.rngs = None
+
+    def seed_vector(self, np_randoms):
+        """Per-sub-env generators, as under the reference's SyncVectorEnv
+        (each sub-env i is seeded seed+i and draws independently)."""
+        self.rngs = list(np_randoms)
+        self.np_random = self.rngs[0]
+
+    def _reset_one(self, rng):
+        pos = rng.uniform(-np.ones(2), np.ones(2), size=2).astype(np.float32)
+        noise = rng.normal(size=2).astype(np.float32)
+        return pos, noise
 
     def reset_draws(self):
-        pos = np.stack(
-            [
-                self.np_random.uniform(-np.ones(2), np.ones(2), size=2)
-                for _ in range(self.n)
-            ]
-        ).astype(np.float32)
-        return {"pos": pos, "noise": self.step_draws()["noise"]}
+        rngs = self.rngs or [self.np_random] * self.n
+        pos, noise = zip(*(self._reset_one(r) for r in rngs[: self.n]))
+        return {"pos": np.stack(pos), "noise": np.stack(noise)}
 
     def step_draws(self):
+        rngs = self.rngs or [self.np_random] * self.n
         noise = np.stack(
-            [self.np_random.normal(size=2).astype(np.float32) for _ in range(self.n)]
+            [r.normal(size=2).astype(np.float32) for r in rngs[: self.n]]
         )
         return {"noise": noise}
+
+    def vector_draws(self, prev_done):
+        """Per-env conditional draws for NEXT_STEP autoreset: a resetting
+        env consumes (pos, noise) from ITS stream; a stepping env consumes
+        only its obs noise (light_dark.py:102-121). Dummy zeros fill the
+        untaken branch so shapes stay static."""
+        assert self.rngs is not None
+        step_noise = np.zeros((self.n, 2), np.float32)
+        reset_pos = np.zeros((self.n, 2), np.float32)
+        reset_noise = np.zeros((self.n, 2), np.float32)
+        for i, rng in enumerate(self.rngs):
+            if prev_done[i]:
+                reset_pos[i], reset_noise[i] = self._reset_one(rng)
+            else:
+                step_noise[i] = rng.normal(size=2).astype(np.float32)
+        return {"noise": step_noise}, {"pos": reset_pos, "noise": reset_noise}
 
 
 class LIDARShim(HostShim):
     def seed(self, np_random):
         self.np_random = np_random
+        self.rngs = None
         if not self.params.static_map:
             seed = np_random.integers(0, 2**32, endpoint=True)
             self.map_rng = np.random.default_rng(seed)
+            self.map_rngs = None
         self._static_map = np.asarray(self.params.map_bank.maps[
             self.params.static_map_pos
         ]) if self.params.static_map else None
+
+    def seed_vector(self, np_randoms):
+        self.rngs = list(np_randoms)
+        self.np_random = self.rngs[0]
+        self._static_map = np.asarray(self.params.map_bank.maps[
+            self.params.static_map_pos
+        ]) if self.params.static_map else None
+        if not self.params.static_map:
+            self.map_rngs = [
+                np.random.default_rng(r.integers(0, 2**32, endpoint=True))
+                for r in self.rngs
+            ]
+
+    def _reset_one(self, rng, map_rng):
+        if self.params.static_map:
+            occ = self._static_map
+        else:
+            occ = self._generate_map(int(map_rng.integers(0, 2**32)))
+        free_y, free_x = np.where(~occ)
+        k = rng.integers(0, len(free_y))
+        pos = np.array([free_x[k], free_y[k]], dtype=np.float32) + 0.5
+        return occ, pos
+
+    def vector_draws(self, prev_done):
+        assert self.rngs is not None
+        h, w = self.params.map_bank.map_hw
+        occs = np.zeros((self.n, h, w), bool)
+        poss = np.zeros((self.n, 2), np.float32)
+        for i, rng in enumerate(self.rngs):
+            if prev_done[i]:
+                mr = self.map_rngs[i] if not self.params.static_map else None
+                occs[i], poss[i] = self._reset_one(rng, mr)
+        return None, {"occ": occs, "pos": poss}
 
     def _generate_map(self, idx: int) -> np.ndarray:
         from ..data.floor_map import generate_maze_map, generate_rooms_map
@@ -200,15 +260,14 @@ class LIDARShim(HostShim):
 
     def reset_draws(self):
         occs, poss = [], []
-        for _ in range(self.n):
-            if self.params.static_map:
-                occ = self._static_map
+        for i in range(self.n):
+            if self.rngs is not None:
+                rng = self.rngs[i]
+                map_rng = None if self.params.static_map else self.map_rngs[i]
             else:
-                idx = int(self.map_rng.integers(0, 2**32))
-                occ = self._generate_map(idx)
-            free_y, free_x = np.where(~occ)
-            k = self.np_random.integers(0, len(free_y))
-            pos = np.array([free_x[k], free_y[k]], dtype=np.float32) + 0.5
+                rng = self.np_random
+                map_rng = None if self.params.static_map else self.map_rng
+            occ, pos = self._reset_one(rng, map_rng)
             occs.append(occ)
             poss.append(pos)
         return {"occ": np.stack(occs), "pos": np.stack(poss)}

@@ -60,11 +60,15 @@ class LIDARLocalizationParams(struct.PyTreeNode):
     static_map_pos: int = struct.field(pytree_node=False, default=0)
     lidar_beam_count: int = struct.field(pytree_node=False, default=8)
     lidar_range: float = struct.field(pytree_node=False, default=5.0)
-    # Windowed raycast slab-tests only the cells reachable by a ray (~8x
-    # less arithmetic) but needs a dynamic_slice gather per env — measured
-    # 8x SLOWER on TPU (gathers don't tile; the dense slab fuses into a
-    # pure VPU reduce) and faster on CPU. Default is the TPU-first choice.
-    windowed: bool = struct.field(pytree_node=False, default=False)
+    # Raycast backend: "xla" (dense slab, fused VPU reduce — the TPU
+    # default), "windowed" (8x less arithmetic but per-env dynamic_slice
+    # gathers; measured 8x slower on TPU, faster on CPU), or "pallas"
+    # (hand-scheduled VMEM kernel, bitwise-identical to "xla").
+    raycast_backend: str = struct.field(pytree_node=False, default="xla")
+
+    @property
+    def windowed(self) -> bool:
+        return self.raycast_backend == "windowed"
 
     @property
     def ray_pad(self) -> int:
@@ -125,10 +129,14 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         return jnp.array([w, h], dtype=jnp.float32)
 
     def _raycast(self, state, origin, targets, params, radius):
-        if params.windowed:
+        if params.raycast_backend == "windowed":
             return raycast_grid_windowed(
                 state.occ_padded, params.ray_pad, origin, targets, radius
             )
+        if params.raycast_backend == "pallas":
+            from ..ops.raycast_pallas import raycast_grid_pallas
+
+            return raycast_grid_pallas(state.occ, origin, targets), None
         return raycast_grid(state.occ, origin, targets)
 
     def _observe(self, state: LIDARLocalizationState, params) -> dict[str, jax.Array]:

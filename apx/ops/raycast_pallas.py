@@ -88,6 +88,31 @@ def _kernel(occ_ref, o_ref, d_ref, len_ref, out_ref, *, n_rays, h, w, eps):
         )
 
 
+def raycast_grid_pallas(
+    occ: jnp.ndarray,  # (H, W) bool/uint8
+    origin: jnp.ndarray,  # (2,) f32
+    targets: jnp.ndarray,  # (R, 2) f32
+    eps: float = 1e-3,
+) -> jnp.ndarray:
+    """Single-env wrapper; under jax.vmap the pallas_call lifts the batch
+    axis into the kernel grid, so vmapped env steps use one fused kernel."""
+    from jax.experimental import pallas as pl
+
+    h, w = occ.shape
+    r = targets.shape[0]
+    occf = occ.reshape(1, h * w).astype(jnp.float32)
+    o = jnp.broadcast_to(origin.astype(jnp.float32), (r, 2)).reshape(1, r, 2)
+    d = (targets.astype(jnp.float32) - origin.astype(jnp.float32)).reshape(1, r, 2)
+    seg = jnp.linalg.norm(d, axis=-1)
+
+    kernel = functools.partial(_kernel, n_rays=r, h=h, w=w, eps=eps)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, r), jnp.float32),
+    )(occf, o, d, seg)
+    return out[0]
+
+
 @functools.partial(jax.jit, static_argnames=("block_envs", "eps"))
 def raycast_grid_pallas_batch(
     occ: jnp.ndarray,  # (N, H, W) bool/uint8

@@ -181,3 +181,29 @@ def test_hide_and_seek_masked_reference_reset_is_broken(ref_ap):
         {"action": np.zeros((2, 2), np.float32), "prediction": ()}
     )
     assert info["prediction"]["target"] == ()
+
+
+def test_light_dark_vector_sync_parity(ref_ap):
+    """Vector LightDark under the reference's SyncVectorEnv (per-sub-env
+    np_random chains, NEXT_STEP autoreset) vs the apx vector adapter.
+    Obs/reward/term are compared; the info dict is not (SyncVectorEnv uses
+    gymnasium's masked-info stacking, a host-side packaging difference)."""
+    env_id = "LightDark-v0"
+    n = 3
+    ref = ref_ap.make_vec(env_id, num_envs=n)
+    mine = apc.make_vec(env_id, num_envs=n)
+    rng = np.random.default_rng(42)
+    ro, _ = ref.reset(seed=123)
+    mo, _ = mine.reset(seed=123)
+    _cmp(ro, mo, "obs", -1, env_id)
+    for t in range(80):
+        a = {
+            "action": rng.uniform(-1, 1, (n, 2)).astype(np.float32),
+            "prediction": rng.normal(size=(n, 2)).astype(np.float32),
+        }
+        r_obs, r_rew, r_term, r_trunc, r_info = ref.step(a)
+        m_obs, m_rew, m_term, m_trunc, m_info = mine.step(a)
+        _cmp(r_obs, m_obs, "obs", t, env_id)
+        _cmp(r_rew, m_rew, "reward", t, env_id)
+        np.testing.assert_array_equal(np.asarray(r_term), np.asarray(m_term))
+        np.testing.assert_array_equal(np.asarray(r_trunc), np.asarray(m_trunc))
