@@ -100,10 +100,68 @@ def make_lidar_rooms(num_envs: int):
     return venv, params, 1_000_000.0
 
 
+def _make_lidar(kind: str, static: bool, num_envs: int):
+    from apx.core.env import AutoResetMode, vmap_vector_env
+    from apx.data.floor_map import make_maze_bank, make_rooms_bank
+    from apx.envs.lidar_localization import LIDARLocalizationEnv
+    from apx.wrappers import TimeLimit
+
+    mk = make_maze_bank if kind == "maze" else make_rooms_bank
+    bank = mk(num_maps=1, indices=[0]) if static else mk(num_maps=256)
+    env = TimeLimit(
+        LIDARLocalizationEnv(map_bank=bank, static_map=static),
+        max_episode_steps=100,
+        issue_termination=True,
+    )
+    return vmap_vector_env(env, num_envs, AutoResetMode.NEXT_STEP), env.default_params()
+
+
+def make_lidar_rooms_static(num_envs: int):
+    venv, params = _make_lidar("rooms", True, num_envs)
+    return venv, params, 1_000_000.0
+
+
+def make_lidar_maze(num_envs: int):
+    venv, params = _make_lidar("maze", False, num_envs)
+    return venv, params, 1_000_000.0
+
+
+def make_mnist(num_envs: int):
+    """MNIST 5x5-glimpse classification (synthetic bank when the HF cache
+    is absent; identical shapes/compute either way)."""
+    from apx.core.env import AutoResetMode, vmap_vector_env
+    from apx.data.huggingface import load_hf_image_bank
+    from apx.envs.image_classification import ImageClassificationEnv
+
+    env = ImageClassificationEnv(dataset=load_hf_image_bank("mnist", channels=1))
+    params = env.default_params()
+    venv = vmap_vector_env(env, num_envs, AutoResetMode.LOCKSTEP)
+    return venv, params, 2200.0
+
+
+def make_tin_loc(num_envs: int):
+    """TinyImageNetLoc: 64x64x3 images, 10x10 glimpse localization."""
+    from apx.core.env import AutoResetMode, vmap_vector_env
+    from apx.data.huggingface import load_hf_image_bank
+    from apx.envs.image_localization import ImageLocalizationEnv
+
+    env = ImageLocalizationEnv(
+        dataset=load_hf_image_bank("zh-plus/tiny-imagenet"),
+        sensor_size=(10, 10),
+    )
+    params = env.default_params()
+    venv = vmap_vector_env(env, num_envs, AutoResetMode.LOCKSTEP)
+    return venv, params, 2200.0
+
+
 BENCHES = {
     "circle_square": make_circle_square,
     "light_dark": make_light_dark,
+    "mnist": make_mnist,
+    "tin_loc": make_tin_loc,
     "lidar_rooms": make_lidar_rooms,
+    "lidar_rooms_static": make_lidar_rooms_static,
+    "lidar_maze": make_lidar_maze,
 }
 
 
