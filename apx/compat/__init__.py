@@ -104,3 +104,21 @@ def make_vec(
     elif log_wrapper and entry.metrics == "regression":
         gym_env = VectorRegressionLogWrapper(gym_env)
     return gym_env
+
+
+def ensure_active_perception_env(env):
+    """API mirror of ap_gym.ensure_active_perception_env
+    (active_perception_env.py:251-258): compat env objects and their
+    wrappers always re-expose loss_fn/prediction spaces (delegation), so
+    anything produced by apx.compat.make passes through unchanged; plain
+    gymnasium envs are rejected with guidance instead of pseudo-wrapped."""
+    if hasattr(env, "loss_fn") and hasattr(env, "prediction_space"):
+        return env
+    raise TypeError(
+        f"{type(env).__name__} is not an active-perception env; wrap your "
+        "functional env with apx.wrappers.PseudoActivePerceptionEnv before "
+        "the compat adapter."
+    )
+
+
+ensure_active_perception_vector_env = ensure_active_perception_env

@@ -32,18 +32,9 @@ class CompatLossFn:
         return self._loss(prediction, target)
 
     def torch(self, prediction, target, batch_shape=()):
-        import torch
-
-        out = self.numpy(
-            prediction.detach().cpu().numpy()
-            if isinstance(prediction, torch.Tensor)
-            else prediction,
-            target.detach().cpu().numpy()
-            if isinstance(target, torch.Tensor)
-            else target,
-            batch_shape,
-        )
-        return torch.as_tensor(out)
+        if isinstance(self._loss, ZeroLossFn):
+            return self._loss.torch(prediction, target, batch_shape)
+        return self._loss.torch(prediction, target)
 
     @property
     def lower_bound(self):

@@ -37,13 +37,23 @@ __all__ = [
 @dataclasses.dataclass(frozen=True)
 class LossFn:
     """Base loss. Signature: loss(prediction, target) -> array with the
-    broadcast batch shape (the trailing feature axes are reduced)."""
+    broadcast batch shape (the trailing feature axes are reduced).
+
+    ``__call__`` is the jax implementation; ``numpy`` mirrors the
+    reference numerics for the compat layer; ``torch`` is differentiable
+    like the reference's (loss_fn.py:25-51) so torch learners can train
+    through the loss."""
 
     def __call__(self, prediction, target):
         raise NotImplementedError
 
     def numpy(self, prediction, target):
         raise NotImplementedError
+
+    def torch(self, prediction, target):
+        raise NotImplementedError(
+            f"{type(self).__name__} has no torch implementation"
+        )
 
     @property
     def lower_bound(self) -> float:
@@ -84,6 +94,9 @@ class AffineLossFn(LossFn):
     def numpy(self, prediction, target):
         return self.inner.numpy(prediction, target) * self.scale + self.offset
 
+    def torch(self, prediction, target):
+        return self.inner.torch(prediction, target) * self.scale + self.offset
+
     @property
     def lower_bound(self) -> float:
         return self.inner.lower_bound * self.scale + self.offset
@@ -100,6 +113,7 @@ class LambdaLossFn(LossFn):
 
     jax_fn: Callable[[Any, Any], jax.Array] = None  # type: ignore[assignment]
     numpy_fn: Callable[[Any, Any], np.ndarray] | None = None
+    torch_fn: Callable[[Any, Any], Any] | None = None
     lower_bound_value: float = -np.inf
     blind_guess_value: float | None = None
 
@@ -111,6 +125,11 @@ class LambdaLossFn(LossFn):
             raise NotImplementedError("Loss function is not implemented for numpy.")
         return self.numpy_fn(prediction, target)
 
+    def torch(self, prediction, target):
+        if self.torch_fn is None:
+            raise NotImplementedError("Loss function is not implemented for torch.")
+        return self.torch_fn(prediction, target)
+
     @property
     def lower_bound(self) -> float:
         return self.lower_bound_value
@@ -120,7 +139,7 @@ class LambdaLossFn(LossFn):
         return self.blind_guess_value
 
     def __hash__(self):
-        return hash((id(self.jax_fn), id(self.numpy_fn), self.lower_bound_value, self.blind_guess_value))
+        return hash((id(self.jax_fn), id(self.numpy_fn), id(self.torch_fn), self.lower_bound_value, self.blind_guess_value))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,6 +153,11 @@ class ZeroLossFn(LossFn):
 
     def numpy(self, prediction, target, batch_shape: tuple[int, ...] = ()):
         return np.zeros(batch_shape, dtype=np.float32)
+
+    def torch(self, prediction, target, batch_shape: tuple[int, ...] = ()):
+        import torch
+
+        return torch.zeros(batch_shape, dtype=torch.float32)
 
     @property
     def lower_bound(self) -> float:
@@ -169,6 +193,13 @@ class CrossEntropyLossFn(LossFn):
         logp = scipy.special.log_softmax(prediction, axis=-1)
         return -np.take_along_axis(logp, np.asarray(target)[..., None], axis=-1)[..., 0]
 
+    def torch(self, prediction, target):
+        import torch
+
+        logp = torch.log_softmax(torch.as_tensor(prediction), dim=-1)
+        idx = torch.as_tensor(target).long()[..., None]
+        return -torch.gather(logp, -1, idx)[..., 0]
+
     @property
     def lower_bound(self) -> float:
         return 0.0
@@ -194,6 +225,13 @@ class MSELossFn(LossFn):
 
     def numpy(self, prediction, target):
         return np.mean((np.asarray(prediction) - np.asarray(target)) ** 2, axis=-1)
+
+    def torch(self, prediction, target):
+        import torch
+
+        p = torch.as_tensor(prediction)
+        t = torch.as_tensor(target)
+        return torch.mean((p - t) ** 2, dim=-1)
 
     @property
     def lower_bound(self) -> float:
@@ -223,6 +261,13 @@ class WeightedLossFn(LossFn):
 
     def numpy(self, prediction, target):
         return self.inner.numpy(prediction, target["target"]) * target["weight"]
+
+    def torch(self, prediction, target):
+        import torch
+
+        return self.inner.torch(prediction, target["target"]) * torch.as_tensor(
+            target["weight"]
+        )
 
     @property
     def lower_bound(self) -> float:

@@ -109,3 +109,37 @@ def test_reference_loss_parity():
         np.testing.assert_allclose(
             np.asarray(ours(pred, target)), ref.numpy(pred, target), rtol=1e-5
         )
+
+
+def test_torch_losses_match_and_differentiate():
+    torch = pytest.importorskip("torch")
+    import numpy as np
+
+    from apx.core.losses import CrossEntropyLossFn, MSELossFn, WeightedLossFn
+
+    rng = np.random.default_rng(0)
+    pred = rng.normal(size=(5, 4)).astype(np.float32)
+    target = rng.integers(0, 4, size=5)
+
+    ce = CrossEntropyLossFn(num_classes=4).normalized
+    t_pred = torch.tensor(pred, requires_grad=True)
+    out = ce.torch(t_pred, torch.tensor(target))
+    np.testing.assert_allclose(
+        out.detach().numpy(), ce.numpy(pred, target), rtol=1e-5
+    )
+    out.sum().backward()
+    assert t_pred.grad is not None and torch.isfinite(t_pred.grad).all()
+
+    mse = MSELossFn(target_std=0.5).normalized
+    p2 = rng.normal(size=(5, 2)).astype(np.float32)
+    t2 = rng.normal(size=(5, 2)).astype(np.float32)
+    tp = torch.tensor(p2, requires_grad=True)
+    out2 = mse.torch(tp, torch.tensor(t2))
+    np.testing.assert_allclose(out2.detach().numpy(), mse.numpy(p2, t2), rtol=1e-5)
+    out2.sum().backward()
+    assert torch.isfinite(tp.grad).all()
+
+    w = WeightedLossFn(inner=MSELossFn())
+    wt = {"target": torch.tensor(t2), "weight": torch.tensor([0.0, 1, 0, 1, 0.5])}
+    out3 = w.torch(torch.tensor(p2), wt)
+    assert float(out3[0]) == 0.0
