@@ -93,10 +93,12 @@ def synthetic_image_bank(
     xx = np.linspace(0, 1, w, dtype=np.float32)[None, None, :, None]
     cc = np.arange(c, dtype=np.float32)[None, None, None, :]
     freq = (labels[:, None, None, None] + 1).astype(np.float32)
+    two_pi = np.float32(2 * np.pi)  # keep the whole pipeline f32 — a f64
+    # promotion here doubles generation time for 100k-image banks
     img = 0.5 + 0.25 * np.sin(
-        2 * np.pi * (freq * (xx + shift) + (cc + 1) * yy) + phase
-    ) + 0.25 * np.cos(2 * np.pi * freq * yy + phase)
-    img = np.clip(img, 0.0, 1.0)
+        two_pi * (freq * (xx + shift) + (cc + 1) * yy) + phase, dtype=np.float32
+    ) + 0.25 * np.cos(two_pi * freq * yy + phase, dtype=np.float32)
+    img = np.clip(img, np.float32(0.0), np.float32(1.0))
     bank = BankImageDataset.from_numpy(
         (img * 255).astype(np.uint8), labels, num_classes=k
     )
