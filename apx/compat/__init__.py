@@ -44,6 +44,8 @@ def _entry(env_id: str):
 
 
 def make(env_id: str, rng: str = "reference", log_wrapper: bool = True, **overrides):
+    if overrides.pop("render_mode", "rgb_array") != "rgb_array":
+        raise ValueError("only render_mode='rgb_array' is supported")
     entry = _entry(env_id)
     env = entry.build()
     params = env.default_params(**overrides)

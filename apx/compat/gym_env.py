@@ -85,6 +85,7 @@ class GymVectorAPEnv:
         # Spaces (reference naming: single_* and batched).
         self.single_observation_space = to_gym_space(env.observation_space(params))
         self.single_action_space = to_gym_action_space(env, params)
+        self.single_inner_action_space = to_gym_space(env.inner_action_space(params))
         self.single_prediction_space = to_gym_space(env.prediction_space(params))
         self.single_prediction_target_space = to_gym_space(
             env.prediction_target_space(params)
@@ -356,6 +357,7 @@ class GymAPEnv:
         assert self._vec.num_envs == 1
         self.observation_space = self._vec.single_observation_space
         self.action_space = self._vec.single_action_space
+        self.inner_action_space = self._vec.single_inner_action_space
         self.prediction_space = self._vec.single_prediction_space
         self.prediction_target_space = self._vec.single_prediction_target_space
 

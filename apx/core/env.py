@@ -223,19 +223,28 @@ class VectorAPEnv:
             vstate = VectorState(inner=r.state, prev_done=r.terminated | r.truncated)
             return r.obs, vstate, reward, r.terminated, r.truncated, info
 
-        reset_obs, reset_state, reset_info = jax.vmap(
-            self.env.autoreset_env, in_axes=(0, 0, None)
-        )(reset_keys, state.inner, params)
-
         if self.autoreset is AutoResetMode.LOCKSTEP:
             # Reset only when every env is done; loss evaluated against the
             # NEW target on the reset step (image env semantics, see module
             # docstring). base_reward = 0, terminated = truncated = False.
             do_reset = jnp.all(state.prev_done)
             reset_mask = jnp.broadcast_to(do_reset, (n,))
+            any_reset = do_reset
         else:  # NEXT_STEP: per-env
             do_reset = state.prev_done
             reset_mask = do_reset
+            any_reset = jnp.any(do_reset)
+
+        # lax.cond (not select): on the common no-reset step the whole
+        # autoreset computation — dataset gathers, map fetches, target
+        # samplers — is skipped at runtime, not just masked out.
+        reset_obs, reset_state, reset_info = jax.lax.cond(
+            any_reset,
+            lambda: jax.vmap(self.env.autoreset_env, in_axes=(0, 0, None))(
+                reset_keys, state.inner, params
+            ),
+            lambda: (r.obs, r.state, r.info),
+        )
 
         def mask_select(mask, a, b):
             return jax.tree_util.tree_map(

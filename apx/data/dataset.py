@@ -21,7 +21,11 @@ __all__ = ["ImageDataset", "BankImageDataset"]
 
 
 class ImageDataset(struct.PyTreeNode):
-    """Base: concrete datasets implement fetch(idx) -> (image_f32, label)."""
+    """Base: concrete datasets implement fetch(idx) -> (image_f32, label).
+
+    ``fetch_raw`` returns the bank's storage dtype (uint8 for real image
+    corpora) so env state can stay uint8 in HBM — 4x less traffic per
+    step; the glimpse kernel converts to f32/255 on read."""
 
     @property
     def length(self) -> int:
@@ -38,6 +42,9 @@ class ImageDataset(struct.PyTreeNode):
 
     def fetch(self, idx: jax.Array) -> tuple[jax.Array, jax.Array]:
         raise NotImplementedError
+
+    def fetch_raw(self, idx: jax.Array) -> tuple[jax.Array, jax.Array]:
+        return self.fetch(idx)
 
 
 class BankImageDataset(ImageDataset):
@@ -65,11 +72,15 @@ class BankImageDataset(ImageDataset):
         return tuple(self.images.shape[1:])  # type: ignore[return-value]
 
     def fetch(self, idx: jax.Array) -> tuple[jax.Array, jax.Array]:
-        img = jnp.take(self.images, idx, axis=0)
+        img, label = self.fetch_raw(idx)
         if img.dtype == jnp.uint8:
             img = img.astype(jnp.float32) / 255.0
         else:
             img = img.astype(jnp.float32)
+        return img, label
+
+    def fetch_raw(self, idx: jax.Array) -> tuple[jax.Array, jax.Array]:
+        img = jnp.take(self.images, idx, axis=0)
         label = jnp.take(self.labels, idx, axis=0).astype(jnp.int32)
         return img, label
 

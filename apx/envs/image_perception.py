@@ -88,7 +88,7 @@ class ImagePerceptionEngine:
     def reset(key: jax.Array, params: ImagePerceptionParams) -> ImagePerceptionState:
         k_idx, k_inv, k_pos = jax.random.split(key, 3)
         idx = jax.random.randint(k_idx, (), 0, params.dataset.length, dtype=jnp.int32)
-        image, label = params.dataset.fetch(idx)
+        image, label = params.dataset.fetch_raw(idx)
         if params.randomly_invert_labels:
             inverted = jax.random.randint(k_inv, (), 0, 2) == 1
             label = jnp.where(
@@ -117,7 +117,7 @@ class ImagePerceptionEngine:
         """Build a reset state from host-provided RNG draws (compat/parity
         mode reproduces the reference's NumPy PCG64 draw sequence)."""
         return ImagePerceptionState(
-            image=image.astype(jnp.float32),
+            image=image,  # bank dtype (uint8 stays uint8 in HBM)
             label=label.astype(jnp.int32),
             data_index=data_index.astype(jnp.int32),
             pos=pos.astype(jnp.float32),

@@ -99,7 +99,11 @@ def extract_glimpse(
     # (s0, H) @ (H, W*C) -> (s0, W*C); then per-channel (s0, W) @ (W, s1).
     # HIGHEST precision: glimpses are observations, bf16 MXU passes would put
     # ~3e-3 noise on them; these GEMMs are tiny so full f32 costs nothing.
+    # uint8 banks stay uint8 in env state/HBM; the /255 conversion happens
+    # here on the freshly-read tile (fused by XLA into the matmul operand).
     img_f = image.astype(jnp.float32)
+    if image.dtype == jnp.uint8:
+        img_f = img_f / 255.0
     tmp = jnp.einsum(
         "sh,hwc->swc", w_rows, img_f, precision=jax.lax.Precision.HIGHEST
     )

@@ -313,6 +313,8 @@ def render_env(base_env, state, params, tracker: RenderTracker | None = None):
         pos = np.asarray(s.pos)
         if img.ndim == 4:
             img, pos = img[0], pos[0]
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
         return render_image_perception(
             img, pos, params.sensor_size, params.sensor_scale, tracker
         )
@@ -322,6 +324,8 @@ def render_env(base_env, state, params, tracker: RenderTracker | None = None):
         target = np.asarray(s.target)
         if img.ndim == 4:
             img, pos, target = img[0], pos[0], target[0]
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
         return render_image_perception(
             img,
             pos,

@@ -171,6 +171,10 @@ def main():
     ap.add_argument("--num-envs", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--all", action="store_true", help="print one line per env")
+    ap.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="capture a jax.profiler trace of the timed region into DIR",
+    )
     args = ap.parse_args()
 
     key = jax.random.key(0)
@@ -183,7 +187,11 @@ def main():
                 continue  # env family not built yet
             name = "circle_square"
             venv, params, baseline = BENCHES[name](args.num_envs)
-        sps = bench_env(venv, params, args.steps, key)
+        if args.profile:
+            with jax.profiler.trace(args.profile):
+                sps = bench_env(venv, params, args.steps, key)
+        else:
+            sps = bench_env(venv, params, args.steps, key)
         print(
             json.dumps(
                 {

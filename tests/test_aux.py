@@ -148,3 +148,47 @@ def test_create_env_vid(tmp_path):
     out = tmp_path / "vid.gif"
     n = create_env_vid("LightDark-v0", str(out), steps=5, seed=0)
     assert out.exists() and n == 6
+
+
+def test_ap_gym_alias_drives_reference_example_loop():
+    """The reference's example/circle_square.py core loop, unmodified API
+    calls, against the alias module (no matplotlib)."""
+    import sys
+
+    saved = sys.modules.pop("ap_gym", None)
+    try:
+        from apx.compat.ap_gym_alias import install
+
+        ap_gym = install()
+        env = ap_gym.make("CircleSquare-v0", render_mode="rgb_array")
+        env.reset(seed=0)
+        img = env.render()
+        assert img.shape[-1] == 3
+        assert env.observation_space["glimpse"].shape == (5, 5, 1)
+        prev_done = False
+        losses = []
+        for _ in range(20):
+            if prev_done:
+                obs, _ = env.reset()
+                prev_done = False
+            else:
+                action = {
+                    "action": env.inner_action_space.sample(),
+                    "prediction": env.prediction_space.sample(),
+                }
+                obs, _, terminated, truncated, info = env.step(action)
+                prev_done = terminated or truncated
+                losses.append(
+                    float(
+                        env.loss_fn.numpy(
+                            action["prediction"], info["prediction"]["target"]
+                        )
+                    )
+                )
+        assert len(losses) >= 18 and all(np.isfinite(losses))
+        assert env.metadata["render_fps"] == 4
+        env.close()
+    finally:
+        sys.modules.pop("ap_gym", None)
+        if saved is not None:
+            sys.modules["ap_gym"] = saved
