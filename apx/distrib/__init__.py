@@ -1,5 +1,6 @@
 from .mesh import (
     EnvSharding,
+    init_distributed,
     make_env_mesh,
     shard_env_batch,
     shard_params,

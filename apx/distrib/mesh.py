@@ -43,6 +43,16 @@ __all__ = [
 ]
 
 
+def init_distributed(**kwargs) -> None:
+    """Multi-host entry: jax.distributed.initialize (idempotent). Call on
+    every host before make_env_mesh(); afterwards jax.devices() is the
+    global device list and GSPMD addresses the whole slice."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized
+
+
 def make_env_mesh(num_devices: int | None = None, axis_name: str = "env") -> Mesh:
     """1-D mesh over all (or the first N) global devices."""
     devs = jax.devices()

@@ -101,3 +101,59 @@ def test_vmap_invariance():
         np.asarray(obs1["glimpse"]), np.asarray(obs2["glimpse"])[:2]
     )
     np.testing.assert_array_equal(np.asarray(st1.label), np.asarray(st2.label)[:2])
+
+
+def test_time_limit_box_obs_concat():
+    """TimeLimit appends the time scalar to 1-D float Box observations
+    (reference time_limit.py:86-100)."""
+    from flax import struct
+
+    from apx.core.env import APEnv, APStepResult
+    from apx.core.losses import MSELossFn
+    from apx.core.spaces import Box
+    from apx.wrappers import TimeLimit
+
+    class BoxState(struct.PyTreeNode):
+        x: jax.Array
+
+    class BoxEnv(APEnv):
+        def default_params(self, **kw):
+            return ()
+
+        def observation_space(self, params):
+            return Box(low=-1.0, high=1.0, shape=(3,))
+
+        def inner_action_space(self, params):
+            return Box(low=-1.0, high=1.0, shape=(1,))
+
+        def prediction_space(self, params):
+            return Box(low=-1.0, high=1.0, shape=(1,))
+
+        def prediction_target_space(self, params):
+            return Box(low=-1.0, high=1.0, shape=(1,))
+
+        def loss_fn(self, params):
+            return MSELossFn()
+
+        def reset_env(self, key, params):
+            s = BoxState(x=jnp.zeros(3))
+            return s.x, s, {}
+
+        def step_env(self, key, state, action, prediction, params):
+            s = BoxState(x=state.x + 0.1)
+            return APStepResult(
+                obs=s.x, state=s, base_reward=jnp.float32(0),
+                terminated=jnp.zeros((), bool), truncated=jnp.zeros((), bool),
+                info={}, prediction_target=jnp.zeros(1),
+            )
+
+    env = TimeLimit(BoxEnv(), max_episode_steps=4, issue_termination=True)
+    params = env.default_params()
+    space = env.observation_space(params)
+    assert space.shape == (4,)
+    obs, state, _ = env.reset_env(jax.random.PRNGKey(0), params)
+    assert obs.shape == (4,) and float(obs[-1]) == -1.0
+    act = {"action": jnp.zeros(1), "prediction": jnp.zeros(1)}
+    for t in range(4):
+        obs, state, r, te, tr, _ = env.step(jax.random.PRNGKey(0), state, act, params)
+    assert bool(te) and float(obs[-1]) == 1.0
