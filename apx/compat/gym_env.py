@@ -14,7 +14,6 @@ and the prediction target.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
@@ -22,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.env import APEnv
-from ..core.losses import WeightedLossFn, ZeroLossFn
+from ..core.losses import WeightedLossFn
 from ..wrappers.base import APWrapper
 from .builders import apply_step_draws, reset_from_draws
 from .shims import make_shim

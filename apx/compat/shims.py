@@ -25,9 +25,6 @@ Draw chains replicated here:
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any
-
 import numpy as np
 
 from ..envs.image_classification import ImageClassificationEnv

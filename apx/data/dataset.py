@@ -10,8 +10,6 @@ Sampling with replacement (dataset_iterator.py:26-32) becomes a
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

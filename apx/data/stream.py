@@ -22,7 +22,7 @@ from __future__ import annotations
 import queue
 import threading
 import weakref
-from typing import Any, Callable, Iterator, Sequence
+from typing import Any, Callable, Iterator
 
 import numpy as np
 

@@ -7,15 +7,11 @@ Discrete target, normalized cross-entropy loss).
 
 from __future__ import annotations
 
-from typing import Any
-
-import jax
 import jax.numpy as jnp
-from flax import struct
 
 from ..core.env import APEnv, APStepResult
 from ..core.losses import CrossEntropyLossFn, LossFn
-from ..core.spaces import Box, DictSpace, Discrete, Logit, Space
+from ..core.spaces import Discrete, Logit, Space
 from ..data.dataset import ImageDataset
 from .image_perception import (
     ImagePerceptionEngine,

@@ -29,7 +29,7 @@ from flax import struct
 from ..core.spaces import Box, DictSpace, Discrete, Image
 from ..data.dataset import ImageDataset
 from ..ops.geometry import project_sphere
-from ..ops.glimpse import extract_glimpse, glimpse_coords, interp_weights, sensor_pos_lim_pixels
+from ..ops.glimpse import extract_glimpse
 
 __all__ = ["ImagePerceptionParams", "ImagePerceptionState", "ImagePerceptionEngine"]
 

@@ -17,7 +17,6 @@ the functional env state deliberately does not carry.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import numpy as np
 

@@ -8,8 +8,6 @@ nests the inner state in a pytree, so vmap/jit/scan compose transparently.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 
 from ..core.env import APEnv, APStepResult

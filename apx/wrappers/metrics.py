@@ -26,7 +26,7 @@ matching the reference's clear-then-skip behavior (:153-161).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

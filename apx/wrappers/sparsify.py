@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.env import APEnv, APStepResult
+from ..core.env import APStepResult
 from ..core.losses import LossFn, WeightedLossFn
 from ..core.spaces import Box, DictSpace, Space
 from .base import APWrapper
