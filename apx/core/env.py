@@ -235,17 +235,6 @@ class VectorAPEnv:
             reset_mask = do_reset
             any_reset = jnp.any(do_reset)
 
-        # lax.cond (not select): on the common no-reset step the whole
-        # autoreset computation — dataset gathers, map fetches, target
-        # samplers — is skipped at runtime, not just masked out.
-        reset_obs, reset_state, reset_info = jax.lax.cond(
-            any_reset,
-            lambda: jax.vmap(self.env.autoreset_env, in_axes=(0, 0, None))(
-                reset_keys, state.inner, params
-            ),
-            lambda: (r.obs, r.state, r.info),
-        )
-
         def mask_select(mask, a, b):
             return jax.tree_util.tree_map(
                 lambda x, y: jnp.where(
@@ -255,32 +244,64 @@ class VectorAPEnv:
                 b,
             )
 
-        obs = mask_select(reset_mask, reset_obs, r.obs)
-        new_inner = mask_select(reset_mask, reset_state, r.state)
-        base_reward = jnp.where(reset_mask, 0.0, r.base_reward)
-        terminated = jnp.where(reset_mask, False, r.terminated)
-        truncated = jnp.where(reset_mask, False, r.truncated)
+        # The whole reset-and-merge lives under lax.cond (not select): on the
+        # common no-reset step, neither the autoreset computation — dataset
+        # gathers, map fetches, target samplers — nor the state-wide
+        # mask-select copies execute; the step results pass through.
+        def reset_branch():
+            reset_obs, reset_state, reset_info = jax.vmap(
+                self.env.autoreset_env, in_axes=(0, 0, None)
+            )(reset_keys, state.inner, params)
+            obs = mask_select(reset_mask, reset_obs, r.obs)
+            new_inner = mask_select(reset_mask, reset_state, r.state)
+            base_reward = jnp.where(reset_mask, 0.0, r.base_reward)
+            terminated = jnp.where(reset_mask, False, r.terminated)
+            truncated = jnp.where(reset_mask, False, r.truncated)
+            if self.autoreset is AutoResetMode.LOCKSTEP:
+                # Loss target on the reset step is env-specific (see
+                # APEnv.prediction_target_on_reset).
+                new_target = jax.vmap(
+                    lambda so, sn: self.env.prediction_target_on_reset(
+                        so, sn, params
+                    )
+                )(state.inner, reset_state)
+                pred_target = mask_select(
+                    reset_mask, new_target, r.prediction_target
+                )
+            else:
+                pred_target = r.prediction_target
+            info = mask_select(
+                reset_mask,
+                {
+                    **reset_info,
+                    **{k: v for k, v in r.info.items() if k not in reset_info},
+                },
+                r.info,
+            ) if set(reset_info) == set(r.info) else r.info
+            return obs, new_inner, base_reward, terminated, truncated, pred_target, info
 
+        def no_reset_branch():
+            return (
+                r.obs,
+                r.state,
+                r.base_reward.astype(jnp.float32),
+                r.terminated,
+                r.truncated,
+                r.prediction_target,
+                r.info,
+            )
+
+        obs, new_inner, base_reward, terminated, truncated, pred_target, info = (
+            jax.lax.cond(any_reset, reset_branch, no_reset_branch)
+        )
+
+        loss = loss_fn(full_action["prediction"], pred_target)
         if self.autoreset is AutoResetMode.LOCKSTEP:
-            # Loss target on the reset step is env-specific (see
-            # APEnv.prediction_target_on_reset).
-            new_target = jax.vmap(
-                lambda so, sn: self.env.prediction_target_on_reset(so, sn, params)
-            )(state.inner, reset_state)
-            pred_target = mask_select(reset_mask, new_target, r.prediction_target)
-            loss = loss_fn(full_action["prediction"], pred_target)
             reward = base_reward - loss
         else:
-            pred_target = r.prediction_target
-            loss = loss_fn(full_action["prediction"], pred_target)
             loss = jnp.where(reset_mask, 0.0, loss)
             reward = jnp.where(reset_mask, 0.0, base_reward - loss)
 
-        info = mask_select(
-            reset_mask,
-            {**reset_info, **{k: v for k, v in r.info.items() if k not in reset_info}},
-            r.info,
-        ) if set(reset_info) == set(r.info) else r.info
         info = self.env.compose_info(
             info, base_reward, pred_target, loss, full_action["prediction"], params
         )
