@@ -49,6 +49,10 @@ class ImagePerceptionParams(struct.PyTreeNode):
         pytree_node=False, default=0.2
     )
     unique_sampling_top_k: int = struct.field(pytree_node=False, default=10)
+    # Render-only knobs (ImagePerceptionConfig defaults, module.py:27-29).
+    display_visitation: bool = struct.field(pytree_node=False, default=True)
+    render_unvisited_opacity: float = struct.field(pytree_node=False, default=0.0)
+    render_visited_opacity: float = struct.field(pytree_node=False, default=0.3)
 
 
 class ImagePerceptionState(struct.PyTreeNode):

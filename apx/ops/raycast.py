@@ -76,24 +76,50 @@ def raycast_grid(
         callers needing contact points; distance already encodes the miss).
     """
     h, w = occ.shape
-    occf = occ.reshape(-1).astype(jnp.bool_)
-    cy, cx = jnp.divmod(jnp.arange(h * w, dtype=jnp.int32), w)
-    cx = cx.astype(jnp.float32)
-    cy = cy.astype(jnp.float32)
+    occb = occ.astype(jnp.bool_)
 
     o = origin.astype(jnp.float32)
     d = targets.astype(jnp.float32) - o  # (R, 2)
     seg_len = jnp.linalg.norm(d, axis=-1)  # (R,)
 
-    # (R, C) slab tests; XLA fuses these into the min-reduce below.
-    nx, fx = _slab_axis(o[0], d[:, 0:1], cx[None, :], cx[None, :] + 1.0)
-    ny, fy = _slab_axis(o[1], d[:, 1:2], cy[None, :], cy[None, :] + 1.0)
-    t_enter = jnp.maximum(nx, ny)
-    t_exit = jnp.minimum(fx, fy)
-    valid = occf[None, :] & (t_enter <= t_exit) & (t_exit >= 0.0) & (t_enter <= 1.0)
-    t_hit = jnp.min(
-        jnp.where(valid, jnp.maximum(t_enter, 0.0), jnp.inf), axis=-1
-    )  # (R,)
+    # The slab test is separable: per-ray interval endpoints depend only on
+    # the cell's column (x axis) or row (y axis), so the multiply/divide
+    # work is O(R*(H+W)) and the (R, H, W) combination is pure
+    # min/max/compare fused into the reduce — with bit-identical results.
+    # Measured on v5e: the 3-D form wins for W >= 32 (+20% end-to-end on
+    # rooms maps) but loses on narrow maps (W=21 maze) where lane padding
+    # of the last axis dominates; those use the flat per-cell form.
+    if w >= 32:
+        col = jnp.arange(w, dtype=jnp.float32)
+        row = jnp.arange(h, dtype=jnp.float32)
+        nx, fx = _slab_axis(o[0], d[:, 0:1], col[None, :], col[None, :] + 1.0)
+        ny, fy = _slab_axis(o[1], d[:, 1:2], row[None, :], row[None, :] + 1.0)
+        t_enter = jnp.maximum(nx[:, None, :], ny[:, :, None])  # (R, H, W)
+        t_exit = jnp.minimum(fx[:, None, :], fy[:, :, None])
+        valid = (
+            occb[None] & (t_enter <= t_exit) & (t_exit >= 0.0) & (t_enter <= 1.0)
+        )
+        t_hit = jnp.min(
+            jnp.where(valid, jnp.maximum(t_enter, 0.0), jnp.inf), axis=(-2, -1)
+        )  # (R,)
+    else:
+        occf = occb.reshape(-1)
+        cy, cx = jnp.divmod(jnp.arange(h * w, dtype=jnp.int32), w)
+        cx = cx.astype(jnp.float32)
+        cy = cy.astype(jnp.float32)
+        nx, fx = _slab_axis(o[0], d[:, 0:1], cx[None, :], cx[None, :] + 1.0)
+        ny, fy = _slab_axis(o[1], d[:, 1:2], cy[None, :], cy[None, :] + 1.0)
+        t_enter = jnp.maximum(nx, ny)
+        t_exit = jnp.minimum(fx, fy)
+        valid = (
+            occf[None, :]
+            & (t_enter <= t_exit)
+            & (t_exit >= 0.0)
+            & (t_enter <= 1.0)
+        )
+        t_hit = jnp.min(
+            jnp.where(valid, jnp.maximum(t_enter, 0.0), jnp.inf), axis=-1
+        )  # (R,)
 
     hit = jnp.isfinite(t_hit)
     dist = jnp.where(

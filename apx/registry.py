@@ -49,6 +49,9 @@ class EnvEntry:
     sparse: bool = False
 
 
+# registration.py:513-518: the HF image envs dim unvisited regions harder.
+_RENDER_KW = dict(render_unvisited_opacity=0.5, render_visited_opacity=0.25)
+
 _REGISTRY: dict[str, EnvEntry] | None = None
 _BANK_CACHE: dict[Any, Any] = {}
 
@@ -176,16 +179,16 @@ def _build_registry() -> dict[str, EnvEntry]:
     hf_specs = [
         # name, hf dataset, kwargs for bank, env kwargs
         ("MNIST", dict(name="mnist", channels=1), {}),
-        ("CIFAR10", dict(name="cifar10", image_feature_name="img"), {}),
+        ("CIFAR10", dict(name="cifar10", image_feature_name="img"), _RENDER_KW),
         *[
             (f"CIFAR10-c{i}", dict(
                 name="cifar10", image_feature_name="img",
                 filter_labels=_cifar10_classes()[:i],
-            ), {})
+            ), _RENDER_KW)
             for i in range(2, 11)
         ],
         ("TinyImageNet", dict(name="zh-plus/tiny-imagenet"),
-         dict(sensor_size=(10, 10))),
+         dict(sensor_size=(10, 10), **_RENDER_KW)),
     ]
     for disp, bank_kw, env_kw in hf_specs:
         for split_sfx, split in [("", "train"), ("-train", "train"), ("-test", "test")]:
@@ -203,10 +206,10 @@ def _build_registry() -> dict[str, EnvEntry]:
             ))
 
     loc_specs = [
-        ("MNISTLoc", dict(name="mnist", channels=1), {}),
-        ("CIFAR10Loc", dict(name="cifar10", image_feature_name="img"), {}),
+        ("MNISTLoc", dict(name="mnist", channels=1), _RENDER_KW),
+        ("CIFAR10Loc", dict(name="cifar10", image_feature_name="img"), _RENDER_KW),
         ("TinyImageNetLoc", dict(name="zh-plus/tiny-imagenet"),
-         dict(sensor_size=(10, 10))),
+         dict(sensor_size=(10, 10), **_RENDER_KW)),
     ]
     for disp, bank_kw, env_kw in loc_specs:
         for split_sfx, split in [("", "train"), ("-train", "train"), ("-test", "test")]:

@@ -92,7 +92,7 @@ def render_image_perception(
     tracker: RenderTracker | None = None,
     target_norm: np.ndarray | None = None,
     pred_norm: np.ndarray | None = None,
-    visited_opacity: float = 0.2,
+    visited_opacity: float = 0.3,
     unvisited_opacity: float = 0.0,
 ) -> np.ndarray:
     """One env's frame: (H', W', 3) uint8."""
@@ -315,7 +315,10 @@ def render_env(base_env, state, params, tracker: RenderTracker | None = None):
         if img.dtype == np.uint8:
             img = img.astype(np.float32) / 255.0
         return render_image_perception(
-            img, pos, params.sensor_size, params.sensor_scale, tracker
+            img, pos, params.sensor_size, params.sensor_scale,
+            tracker if params.display_visitation else None,
+            visited_opacity=params.render_visited_opacity,
+            unvisited_opacity=params.render_unvisited_opacity,
         )
     if isinstance(base_env, ImageLocalizationEnv):
         img = np.asarray(s.perception.image)
@@ -330,9 +333,11 @@ def render_env(base_env, state, params, tracker: RenderTracker | None = None):
             pos,
             params.sensor_size,
             params.sensor_scale,
-            tracker,
+            tracker if params.display_visitation else None,
             target_norm=target,
             pred_norm=np.asarray(tracker.last_pred) if tracker and tracker.last_pred is not None else None,
+            visited_opacity=params.render_visited_opacity,
+            unvisited_opacity=params.render_unvisited_opacity,
         )
     if isinstance(base_env, LightDarkEnv):
         pos = np.asarray(s.pos)
