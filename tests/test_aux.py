@@ -192,3 +192,26 @@ def test_ap_gym_alias_drives_reference_example_loop():
         sys.modules.pop("ap_gym", None)
         if saved is not None:
             sys.modules["ap_gym"] = saved
+
+
+def test_lidar_vector_compat_reference_mode_runs():
+    """LIDAR vector compat in reference-rng mode (per-sub-env np_random +
+    host map generation on autoreset) — parity vs the reference needs
+    shapely, but the draw plumbing must run and produce sane outputs."""
+    import apx.compat as apc
+
+    env = apc.make_vec("LIDARLocMaze-v0", num_envs=3, rng="reference")
+    obs, info = env.reset(seed=7)
+    assert obs["lidar"].shape == (3, 8)
+    rng = np.random.default_rng(0)
+    done_seen = False
+    for t in range(120):
+        a = {
+            "action": rng.uniform(-1, 1, (3, 2)).astype(np.float32),
+            "prediction": np.zeros((3, 2), np.float32),
+        }
+        obs, r, te, tr, i2 = env.step(a)
+        assert np.isfinite(r).all()
+        if (te | tr).any():
+            done_seen = True
+    assert done_seen  # TimeLimit(100) guarantees this
