@@ -76,6 +76,10 @@ class APEnv(Generic[P, S]):
     the space/loss accessors. All dynamics functions must be traceable.
     """
 
+    # Envs whose step_env ignores its key (image, LIDAR) set this False so
+    # the vector layer skips n per-step key splits.
+    step_uses_rng: bool = True
+
     # ---- static metadata -------------------------------------------------
     def default_params(self, **overrides) -> P:
         raise NotImplementedError
@@ -200,18 +204,24 @@ class VectorAPEnv:
         self, key: jax.Array, state: VectorState, full_action: dict[str, Any], params
     ) -> tuple[Any, VectorState, jax.Array, jax.Array, jax.Array, dict[str, Any]]:
         n = self.num_envs
-        step_keys, reset_keys = jax.random.split(key)
-        step_keys = jax.random.split(step_keys, n)
-        reset_keys = jax.random.split(reset_keys, n)
+        step_key, reset_key = jax.random.split(key)
 
         loss_fn = self.env.loss_fn(params)
 
         def raw_step(k, s, a, p):
             return self.env.step_env(k, s, a, p, params)
 
-        r = jax.vmap(raw_step)(
-            step_keys, state.inner, full_action["action"], full_action["prediction"]
-        )
+        if self.env.step_uses_rng:
+            step_keys = jax.random.split(step_key, n)
+            r = jax.vmap(raw_step)(
+                step_keys, state.inner, full_action["action"],
+                full_action["prediction"],
+            )
+        else:
+            r = jax.vmap(raw_step, in_axes=(None, 0, 0, 0))(
+                step_key, state.inner, full_action["action"],
+                full_action["prediction"],
+            )
 
         if self.autoreset is AutoResetMode.DISABLED:
             loss = loss_fn(full_action["prediction"], r.prediction_target)
@@ -249,6 +259,8 @@ class VectorAPEnv:
         # gathers, map fetches, target samplers — nor the state-wide
         # mask-select copies execute; the step results pass through.
         def reset_branch():
+            # Key split happens inside the cond: free on no-reset steps.
+            reset_keys = jax.random.split(reset_key, n)
             reset_obs, reset_state, reset_info = jax.vmap(
                 self.env.autoreset_env, in_axes=(0, 0, None)
             )(reset_keys, state.inner, params)

@@ -23,6 +23,7 @@ __all__ = ["ImageClassificationEnv"]
 
 
 class ImageClassificationEnv(APEnv[ImagePerceptionParams, ImagePerceptionState]):
+    step_uses_rng = False  # step_env is deterministic given state/action
     """Native lockstep-autoreset semantics are provided by the vector wrapper
     with AutoResetMode.LOCKSTEP (image_classification.py:57-61 declares
     NEXT_STEP at the Gymnasium level, but the module itself only supports

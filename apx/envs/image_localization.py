@@ -36,6 +36,7 @@ class ImageLocalizationState(struct.PyTreeNode):
 
 
 class ImageLocalizationEnv(APEnv[ImagePerceptionParams, ImageLocalizationState]):
+    step_uses_rng = False  # step_env is deterministic given state/action
     def __init__(self, dataset: ImageDataset | None = None, **config):
         self._dataset = dataset
         self._config = config

@@ -86,6 +86,7 @@ class LIDARLocalizationState(struct.PyTreeNode):
 
 
 class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState]):
+    step_uses_rng = False  # step_env is deterministic given state/action
     def __init__(self, map_bank: MapBank | None = None, **config):
         self._map_bank = map_bank
         self._config = config

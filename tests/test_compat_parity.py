@@ -75,9 +75,14 @@ def ref_ap():
     [
         ("CircleSquare-v0", 40),       # spans 2 lockstep autoresets
         ("CircleSquare-s15-v0", 20),
+        ("CircleSquare-s20-v0", 20),
+        ("CircleSquare-nograd-v0", 20),
         ("CircleSquareInverted-v0", 40),  # inversion draw chain
+        ("CircleSquareInverted-s15-nograd-v0", 20),
         ("DoubleCircleSquare-s15-v0", 20),  # on-device image synthesis
+        ("DoubleCircleSquare-s20-nograd-v0", 20),
         ("CircleSquare-t32-v0", 36),
+        ("CircleSquare-t64-v0", 20),
     ],
     ids=lambda x: x if isinstance(x, str) else "",
 )
@@ -207,3 +212,44 @@ def test_light_dark_vector_sync_parity(ref_ap):
         _cmp(r_rew, m_rew, "reward", t, env_id)
         np.testing.assert_array_equal(np.asarray(r_term), np.asarray(m_term))
         np.testing.assert_array_equal(np.asarray(r_trunc), np.asarray(m_trunc))
+
+
+def test_image_classification_vector_parity(ref_ap):
+    """Native vector env at N=3 through multiple lockstep autoresets."""
+    env_id = "CircleSquare-s15-v0"
+    ref = ref_ap.make_vec(env_id, num_envs=3)
+    mine = apc.make_vec(env_id, num_envs=3)
+    rng = np.random.default_rng(1)
+    ro, ri = ref.reset(seed=77)
+    mo, mi = mine.reset(seed=77)
+    _cmp(ro, mo, "obs", -1, env_id)
+    for t in range(40):
+        a = {
+            "action": rng.uniform(-1, 1, (3, 2)).astype(np.float32),
+            "prediction": rng.normal(size=(3, 2)).astype(np.float32),
+        }
+        r_obs, r_rew, r_term, r_trunc, r_info = ref.step(a)
+        m_obs, m_rew, m_term, m_trunc, m_info = mine.step(a)
+        _cmp(r_obs, m_obs, "obs", t, env_id)
+        _cmp(r_rew, m_rew, "reward", t, env_id)
+        np.testing.assert_array_equal(np.asarray(r_term), np.asarray(m_term))
+        _cmp(r_info, m_info, "info", t, env_id)
+
+
+def test_seed_determinism_across_instances():
+    """Two independently constructed compat envs with the same seed produce
+    identical trajectories (no hidden global state)."""
+    a = apc.make("LightDark-v0")
+    b = apc.make("LightDark-v0")
+    oa, _ = a.reset(seed=5)
+    ob, _ = b.reset(seed=5)
+    np.testing.assert_array_equal(oa["noisy_position"], ob["noisy_position"])
+    act = {"action": np.array([0.3, -0.2], np.float32),
+           "prediction": np.zeros(2, np.float32)}
+    for _ in range(10):
+        ra = a.step(act)
+        rb = b.step(act)
+        np.testing.assert_array_equal(
+            ra[0]["noisy_position"], rb[0]["noisy_position"]
+        )
+        assert ra[1] == rb[1]
