@@ -3,6 +3,7 @@ interpolation backend, image_perception_module.py:154-157, 294-331)."""
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 from scipy.interpolate import RegularGridInterpolator
 
 from apx.ops.glimpse import extract_glimpse, extract_glimpse_batch
@@ -105,3 +106,19 @@ def test_double_circle_square_matches_reference():
     imgs, labels = jax.vmap(ours.fetch)(np.asarray(idx))
     np.testing.assert_array_equal(np.asarray(labels), ref_labels)
     np.testing.assert_allclose(np.asarray(imgs), ref_imgs.astype(np.float32), atol=1e-6)
+
+
+def test_uint8_bank_glimpse_matches_f32():
+    """uint8 HBM banks with /255-on-read must produce exactly the glimpses
+    of the eager f32/255 conversion (the reference's ingestion rule)."""
+    rng = np.random.default_rng(0)
+    img_u8 = rng.integers(0, 256, size=(12, 14, 3), dtype=np.uint8)
+    img_f32 = img_u8.astype(np.float32) / 255.0
+    pos = jnp.array([0.3, -0.4])
+    g_u8 = extract_glimpse(jnp.asarray(img_u8), pos, (5, 5), 1.0)
+    g_f32 = extract_glimpse(jnp.asarray(img_f32), pos, (5, 5), 1.0)
+    # XLA may fold the /255 into the matmul (sum(w*x)/255 vs sum(w*x/255)),
+    # which reorders one f32 rounding -> up to 1 ulp.
+    np.testing.assert_allclose(
+        np.asarray(g_u8), np.asarray(g_f32), atol=1.2e-7, rtol=0
+    )
