@@ -234,6 +234,27 @@ class GymVectorAPEnv:
             "base_reward": base_reward,
             "prediction": {"target": info_target, "loss": dense},
         }
+        if self.autoreset == "next_step":
+            # Gymnasium SyncVectorEnv info convention: `_key` validity
+            # masks, with reset sub-envs' entries zero-filled (they
+            # contributed only the reset info).
+            provided = (
+                ~reset_mask if reset_mask is not None
+                else np.ones(self.num_envs, dtype=bool)
+            )
+            info["prediction"] = {
+                "target": jax.tree_util.tree_map(
+                    lambda x: np.where(
+                        provided.reshape((-1,) + (1,) * (np.ndim(x) - 1)), x, 0
+                    ),
+                    info["prediction"]["target"],
+                ),
+                "_target": provided,
+                "loss": info["prediction"]["loss"],
+                "_loss": provided,
+            }
+            info["_base_reward"] = provided
+            info["_prediction"] = provided
         return reward, info
 
     def step(self, actions: dict[str, Any]):

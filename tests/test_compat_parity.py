@@ -190,9 +190,9 @@ def test_hide_and_seek_masked_reference_reset_is_broken(ref_ap):
 
 def test_light_dark_vector_sync_parity(ref_ap):
     """Vector LightDark under the reference's SyncVectorEnv (per-sub-env
-    np_random chains, NEXT_STEP autoreset) vs the apx vector adapter.
-    Obs/reward/term are compared; the info dict is not (SyncVectorEnv uses
-    gymnasium's masked-info stacking, a host-side packaging difference)."""
+    np_random chains, NEXT_STEP autoreset) vs the apx vector adapter,
+    including the gymnasium masked-info convention (`_key` masks +
+    zero-filled reset entries)."""
     env_id = "LightDark-v0"
     n = 3
     ref = ref_ap.make_vec(env_id, num_envs=n)
@@ -212,6 +212,11 @@ def test_light_dark_vector_sync_parity(ref_ap):
         _cmp(r_rew, m_rew, "reward", t, env_id)
         np.testing.assert_array_equal(np.asarray(r_term), np.asarray(m_term))
         np.testing.assert_array_equal(np.asarray(r_trunc), np.asarray(m_trunc))
+        for k in ("base_reward", "_base_reward", "_prediction"):
+            if k in r_info:
+                _cmp(r_info[k], m_info[k], f"info/{k}", t, env_id)
+        if "prediction" in r_info:
+            _cmp(r_info["prediction"], m_info["prediction"], "info/prediction", t, env_id)
 
 
 def test_image_classification_vector_parity(ref_ap):
