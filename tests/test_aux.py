@@ -215,3 +215,19 @@ def test_lidar_vector_compat_reference_mode_runs():
         if (te | tr).any():
             done_seen = True
     assert done_seen  # TimeLimit(100) guarantees this
+
+
+def test_bench_harness_runs():
+    """The driver runs bench.py at round end; guard its code path (tiny
+    sizes, CPU)."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    venv, params, baseline = bench.make_circle_square(8)
+    sps = bench.bench_env(venv, params, 4, jax.random.key(0))
+    assert sps > 0 and baseline > 0
+    venv, params, baseline = bench.make_lidar_rooms(4)
+    sps = bench.bench_env(venv, params, 4, jax.random.key(0))
+    assert sps > 0
