@@ -60,10 +60,12 @@ class LIDARLocalizationParams(struct.PyTreeNode):
     static_map_pos: int = struct.field(pytree_node=False, default=0)
     lidar_beam_count: int = struct.field(pytree_node=False, default=8)
     lidar_range: float = struct.field(pytree_node=False, default=5.0)
-    # Raycast backend: "xla" (dense slab, fused VPU reduce — the TPU
-    # default), "windowed" (8x less arithmetic but per-env dynamic_slice
-    # gathers; measured 8x slower on TPU, faster on CPU), or "pallas"
-    # (hand-scheduled VMEM kernel, bitwise-identical to "xla").
+    # Raycast backend: "xla" (dense separable slab, fused VPU reduce — the
+    # TPU default), "windowed" / "hybrid" (less arithmetic but per-env
+    # dynamic_slice gathers; measured 8-20x slower on TPU, faster on CPU),
+    # or "pallas" (hand-scheduled VMEM kernel, bitwise-identical results).
+    # Every alternative was benchmarked end-to-end (see PERF.md); gathers
+    # simply do not pay on this hardware.
     raycast_backend: str = struct.field(pytree_node=False, default="xla")
 
     @property
@@ -130,7 +132,11 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         return jnp.array([w, h], dtype=jnp.float32)
 
     def _raycast(self, state, origin, targets, params, radius):
-        if params.raycast_backend == "windowed":
+        if params.raycast_backend == "windowed" or (
+            params.raycast_backend == "hybrid" and radius <= 2
+        ):
+            # hybrid: the short movement rays (length <= 1) touch at most a
+            # 6x6 window; only the long lidar beams go dense.
             return raycast_grid_windowed(
                 state.occ_padded, params.ray_pad, origin, targets, radius
             )
