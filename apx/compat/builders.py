@@ -87,8 +87,10 @@ def _base_reset_from_draws(base, draws: dict[str, Any], params):
             occ=occ,
             occ_padded=jax.vmap(lambda o: pad_occupancy(o, params.ray_pad))(occ),
             bank_pos=jnp.zeros((n,), jnp.int32),
+            map_idx=jnp.asarray(draws["map_idx"], jnp.uint32),
             pos=pos,
             initial_pos=pos,
+            odo_pending=jnp.ones((n,), jnp.bool_),
         )
         obs = jax.vmap(lambda s: base._observe(s, params))(state)
         info = jax.vmap(lambda s: base._info(s, params))(state)

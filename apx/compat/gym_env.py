@@ -34,6 +34,17 @@ def _np_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _cast_env_info(info: dict) -> dict:
+    """Device env infos use uint32 for dataset indices (x64 is off on
+    device); the reference emits NumPy int64 — cast on the way out."""
+    out = {}
+    for k, v in info.items():
+        if isinstance(v, np.ndarray) and v.dtype == np.uint32:
+            v = v.astype(np.int64)
+        out[k] = v
+    return out
+
+
 def _squeeze_tree(tree):
     return jax.tree_util.tree_map(lambda x: x[0], tree)
 
@@ -52,9 +63,23 @@ class GymVectorAPEnv:
         autoreset: str = "lockstep",  # "lockstep" | "next_step" | "none"
         rng: str = "reference",  # "reference" | "native"
         sparse: bool = False,
+        info_mode: str | None = None,  # "update" | "replace" | None (auto)
     ):
         assert autoreset in ("lockstep", "next_step", "none")
         assert rng in ("reference", "native")
+        # Reference info asymmetry: the native vector step template UPDATES
+        # the env's info dict (active_perception_vector_env.py:84-111) while
+        # the single-env template REPLACES it with a fresh
+        # {base_reward, prediction} dict (active_perception_env.py:101-121).
+        # Lockstep families are native vector envs (update); LightDark/LIDAR
+        # run as singles or SyncVectorEnv-over-singles (replace) — their
+        # custom info keys (e.g. map_idx) appear only in reset info.
+        self.info_mode = (
+            info_mode
+            if info_mode is not None
+            else ("update" if autoreset == "lockstep" else "replace")
+        )
+        assert self.info_mode in ("update", "replace")
         self.env = env
         self.params = params
         self.num_envs = num_envs
@@ -145,7 +170,14 @@ class GymVectorAPEnv:
             robs, rstate, rinfo = reset_triple
             obs = sel(robs, raw.obs)
             state = sel(rstate, raw.state)
-            info = sel(rinfo, raw.info) if set(rinfo) == set(raw.info) else raw.info
+            if set(rinfo) != set(raw.info):
+                # Key sets are static at trace time, so an env-author bug
+                # fails loudly here instead of silently dropping reset info.
+                raise ValueError(
+                    "autoreset info keys differ from step info keys: "
+                    f"{sorted(rinfo)} vs {sorted(raw.info)}"
+                )
+            info = sel(rinfo, raw.info)
             base_reward = jnp.where(mask, 0.0, raw.base_reward)
             term = jnp.where(mask, False, raw.terminated)
             trunc = jnp.where(mask, False, raw.truncated)
@@ -207,7 +239,7 @@ class GymVectorAPEnv:
         update_tracker_reset(
             self._tracker, self.base, self.params, obs_np, unwrap_state(state)
         )
-        return obs_np, _np_tree(info)
+        return obs_np, _cast_env_info(_np_tree(info))
 
     # ------------------------------------------------------------------
     def _compose(self, pred, base_reward, term, trunc, info, target, reset_mask):
@@ -229,8 +261,30 @@ class GymVectorAPEnv:
             dense = np.where(reset_mask, 0.0, dense)
             base_reward = np.where(reset_mask, 0.0, base_reward)
         reward = base_reward - loss_for_reward
+        env_info = _cast_env_info(_np_tree(info))
+        if self.info_mode == "replace":
+            # Single-env template semantics: _step's info keys are dropped
+            # from step infos; under NEXT_STEP vectorization they re-enter
+            # only as the resetting sub-envs' reset info (SyncVectorEnv
+            # masked aggregation: zero fill + `_key` validity mask).
+            extra = {}
+            if reset_mask is not None and reset_mask.any():
+                for k, v in env_info.items():
+                    m = reset_mask.reshape((-1,) + (1,) * (np.ndim(v) - 1))
+                    extra[k] = np.where(m, v, np.zeros_like(v))
+                    extra["_" + k] = reset_mask
+        else:
+            extra = env_info
+        if (
+            self.info_mode == "replace"
+            and reset_mask is not None
+            and reset_mask.all()
+        ):
+            # Every sub-env reset this step: gymnasium's aggregation emits
+            # ONLY the reset infos (no sub-env contributed step keys).
+            return reward, extra
         info = {
-            **_np_tree(info),
+            **extra,
             "base_reward": base_reward,
             "prediction": {"target": info_target, "loss": dense},
         }
@@ -398,9 +452,17 @@ class GymAPEnv:
         return _squeeze_tree(obs), _squeeze_tree(info)
 
     def step(self, action: dict[str, Any]):
-        batched = jax.tree_util.tree_map(
-            lambda x: np.asarray(x)[None], action
-        )
+        def lift(x):
+            # Values are array-likes (incl. plain Python lists, which
+            # tree_map would wrongly recurse into); () is the masked-
+            # prediction sentinel and stays empty.
+            if isinstance(x, tuple) and len(x) == 0:
+                return x
+            if isinstance(x, dict):
+                return {k: lift(v) for k, v in x.items()}
+            return np.asarray(x)[None]
+
+        batched = {k: lift(v) for k, v in action.items()}
         obs, reward, term, trunc, info = self._vec.step(batched)
         return (
             _squeeze_tree(obs),

@@ -146,7 +146,10 @@ class _VectorLogBase(_Delegate):
 
     def step(self, action):
         obs, reward, terminated, truncated, info = self.env.step(action)
-        vals = self._values(action, info)
+        # On an all-reset step no sub-env produced step info (gymnasium
+        # emits only the reset infos — no "prediction" key), and every
+        # series is cleared below, so there is nothing to evaluate.
+        vals = None if self._prev_done.all() else self._values(action, info)
         for i in range(self.env.num_envs):
             for m in self._names:
                 if self._prev_done[i]:

@@ -21,6 +21,18 @@ from ..render.render import _render_geometry, _to_render_coords
 __all__ = ["update_tracker_reset", "update_tracker_step"]
 
 
+def _info_target(info):
+    """Prediction target from a step info dict, unwrapping the sparse
+    {"target", "weight"} form; None on full-reset steps (no step info)."""
+    pred = info.get("prediction")
+    if not isinstance(pred, dict) or "target" not in pred:
+        return None
+    target = pred["target"]
+    if isinstance(target, dict):
+        target = target["target"]
+    return np.asarray(target)
+
+
 def _image_geom(params):
     h, w, _ = params.dataset.image_shape
     return _render_geometry((h, w), params.sensor_size, params.sensor_scale)
@@ -75,7 +87,9 @@ def update_tracker_step(
         tracker.trajectory.append((pos.copy(), quality))
         tracker.last_pos = pos
     elif isinstance(base_env, LightDarkEnv):
-        target = np.asarray(info["prediction"]["target"])
+        target = _info_target(info)
+        if target is None:
+            return
         t0 = target[0] if target.ndim > 1 else target
         quality = float(max(1 - np.linalg.norm(pred0 - t0) / 0.5, 0))
         tracker.last_pred = pred0
@@ -86,7 +100,9 @@ def update_tracker_step(
         occ = np.asarray(_first(state.occ))
         pos = _first(state.pos)
         size = np.array([occ.shape[1], occ.shape[0]], np.float64)
-        target = np.asarray(info["prediction"]["target"])
+        target = _info_target(info)
+        if target is None:
+            return
         t0 = target[0] if target.ndim > 1 else target
         quality = float(min(1 - np.linalg.norm(pred0 - t0) / 0.25, 1))
         tracker.last_pred = (pred0 + 1) / 2 * size

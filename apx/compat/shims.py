@@ -229,23 +229,28 @@ class LIDARShim(HostShim):
     def _reset_one(self, rng, map_rng):
         if self.params.static_map:
             occ = self._static_map
+            idx = int(
+                np.asarray(self.params.map_bank.indices)[self.params.static_map_pos]
+            )
         else:
-            occ = self._generate_map(int(map_rng.integers(0, 2**32)))
+            idx = int(map_rng.integers(0, 2**32))
+            occ = self._generate_map(idx)
         free_y, free_x = np.where(~occ)
         k = rng.integers(0, len(free_y))
         pos = np.array([free_x[k], free_y[k]], dtype=np.float32) + 0.5
-        return occ, pos
+        return occ, pos, idx
 
     def vector_draws(self, prev_done):
         assert self.rngs is not None
         h, w = self.params.map_bank.map_hw
         occs = np.zeros((self.n, h, w), bool)
         poss = np.zeros((self.n, 2), np.float32)
+        idxs = np.zeros(self.n, np.uint32)
         for i, rng in enumerate(self.rngs):
             if prev_done[i]:
                 mr = self.map_rngs[i] if not self.params.static_map else None
-                occs[i], poss[i] = self._reset_one(rng, mr)
-        return None, {"occ": occs, "pos": poss}
+                occs[i], poss[i], idxs[i] = self._reset_one(rng, mr)
+        return None, {"occ": occs, "pos": poss, "map_idx": idxs}
 
     def _generate_map(self, idx: int) -> np.ndarray:
         from ..data.floor_map import generate_maze_map, generate_rooms_map
@@ -256,7 +261,7 @@ class LIDARShim(HostShim):
         return generate_rooms_map(idx, w, h)
 
     def reset_draws(self):
-        occs, poss = [], []
+        occs, poss, idxs = [], [], []
         for i in range(self.n):
             if self.rngs is not None:
                 rng = self.rngs[i]
@@ -264,10 +269,15 @@ class LIDARShim(HostShim):
             else:
                 rng = self.np_random
                 map_rng = None if self.params.static_map else self.map_rng
-            occ, pos = self._reset_one(rng, map_rng)
+            occ, pos, idx = self._reset_one(rng, map_rng)
             occs.append(occ)
             poss.append(pos)
-        return {"occ": np.stack(occs), "pos": np.stack(poss)}
+            idxs.append(idx)
+        return {
+            "occ": np.stack(occs),
+            "pos": np.stack(poss),
+            "map_idx": np.asarray(idxs, np.uint32),
+        }
 
 
 _SHIMS = {

@@ -31,7 +31,12 @@ import numpy as np
 
 from .dataset import BankImageDataset
 
-__all__ = ["HF_DATASET_GEOMETRY", "load_hf_image_bank", "synthetic_image_bank"]
+__all__ = [
+    "HF_DATASET_GEOMETRY",
+    "bank_from_hf",
+    "load_hf_image_bank",
+    "synthetic_image_bank",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,27 +112,88 @@ def synthetic_image_bank(
 
 
 def _pack_hf_split(data, image_key: str, label_key: str, channels: int):
-    """Materialize an HF split into (N, H, W, C) uint8 + (N,) int32."""
-    import PIL.Image
+    """Materialize an HF split into (N, H, W, C) uint8-or-f32 + (N,) int32.
 
-    n = len(data)
-    first = np.asarray(data[0][image_key])
-    imgs = None
-    labels = np.empty(n, dtype=np.int32)
-    for i in range(n):
-        row = data[i]
-        a = np.asarray(row[image_key])
-        if a.dtype != np.uint8:
-            a = np.clip(np.asarray(a, np.float32) * 255, 0, 255).astype(np.uint8)
-        if a.ndim == 2:
-            a = a[..., None]
-        if a.shape[-1] == 1 and channels == 3:
-            a = np.repeat(a, 3, axis=-1)
-        if imgs is None:
-            imgs = np.empty((n, *a.shape), dtype=np.uint8)
-        imgs[i] = a
-        labels[i] = int(row[label_key])
+    Columnar (arrow -> numpy) bulk decode, O(columns) not O(rows) — the
+    per-row PIL fallback only triggers for ragged image shapes, which none
+    of the reference's datasets have. Conversion rules mirror
+    image_classification_dataset.py:66-84: uint8 banks stay uint8 (the /255
+    happens after the per-episode gather), float inputs stay float32
+    verbatim (the reference does NOT rescale them), HW -> HWC, and
+    grayscale -> RGB repeat when the env expects 3 channels.
+    """
+    cols = data.with_format("numpy", columns=[image_key, label_key])
+    raw = cols[image_key]
+    try:
+        imgs = np.asarray(raw)
+        if imgs.dtype == object:
+            raise ValueError("ragged image column")
+    except ValueError:
+        imgs = np.stack([np.asarray(r) for r in raw])
+    labels = np.asarray(cols[label_key]).astype(np.int32)
+    if imgs.dtype != np.uint8 and imgs.dtype != np.float32:
+        imgs = imgs.astype(np.float32)
+    if imgs.ndim == 3:
+        imgs = imgs[..., None]
+    if channels not in (1, 3):
+        raise ValueError(f"Target channels must be 1 or 3, got {channels}")
+    if imgs.shape[-1] == 1 and channels == 3:
+        imgs = np.repeat(imgs, 3, axis=-1)
+    if imgs.shape[-1] != channels:
+        raise ValueError(
+            f"Expected {channels} channels but got {imgs.shape[-1]}"
+        )
     return imgs, labels
+
+
+def _filter_hf_split(data, label_key: str, label_names, filter_labels):
+    """Subset + remap labels, mirroring __filter_dataset
+    (huggingface_image_classification_dataset.py:31-49): selected classes
+    are renumbered 0..k-1 in filter_labels order (label names are resolved
+    against the TRAIN split's ClassLabel feature, as the reference does)."""
+    keep = [label_names.index(l) for l in filter_labels]
+    lab = np.asarray(data[label_key])
+    sel = np.where((lab[:, None] == np.asarray(keep)).any(axis=-1))[0]
+    lut = np.full(int(lab.max(initial=0)) + 1, -1, dtype=np.int32)
+    lut[np.asarray(keep)] = np.arange(len(keep), dtype=np.int32)
+    return data.select(sel), lut
+
+
+def bank_from_hf(
+    dataset_dict,
+    split: str = "train",
+    channels: int = 3,
+    image_feature_name: str = "image",
+    label_feature_name: str = "label",
+    filter_labels: Sequence[str] | None = None,
+) -> BankImageDataset:
+    """Pack an already-loaded HF DatasetDict into an HBM bank.
+
+    Split selection, filter_labels remap (+ effective ClassLabel recast:
+    num_classes = len(filter_labels)), and packing exactly as
+    huggingface_image_classification_dataset.py:31-80 — num_classes always
+    derives from the TRAIN split's label feature (:64-65).
+    """
+    data = dataset_dict[split]
+    train_features = dataset_dict["train"].features
+    if filter_labels is not None:
+        names = train_features[label_feature_name].names
+        data, lut = _filter_hf_split(
+            data, label_feature_name, names, list(filter_labels)
+        )
+        imgs, labels = _pack_hf_split(
+            data, image_feature_name, label_feature_name, channels
+        )
+        labels = lut[labels]
+        k = len(list(filter_labels))
+    else:
+        imgs, labels = _pack_hf_split(
+            data, image_feature_name, label_feature_name, channels
+        )
+        k = train_features[label_feature_name].num_classes
+    bank = BankImageDataset.from_numpy(imgs, labels, num_classes=k)
+    object.__setattr__(bank, "_bank_kind", "huggingface")
+    return bank
 
 
 def load_hf_image_bank(
@@ -149,27 +215,14 @@ def load_hf_image_bank(
             os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
             from datasets import load_dataset
 
-            data = load_dataset(name)[split]
-            if filter_labels is not None:
-                names = data.features[label_feature_name].names
-                keep = [names.index(l) for l in filter_labels]
-                remap = {v: i for i, v in enumerate(keep)}
-                lab = np.asarray(data[label_feature_name])
-                sel = np.where(np.isin(lab, keep))[0]
-                data = data.select(sel)
-                imgs, labels = _pack_hf_split(
-                    data, image_feature_name, label_feature_name, c
-                )
-                labels = np.array([remap[int(l)] for l in labels], dtype=np.int32)
-                k = len(keep)
-            else:
-                imgs, labels = _pack_hf_split(
-                    data, image_feature_name, label_feature_name, c
-                )
-                k = data.features[label_feature_name].num_classes
-            bank = BankImageDataset.from_numpy(imgs, labels, num_classes=k)
-            object.__setattr__(bank, "_bank_kind", "huggingface")
-            return bank
+            return bank_from_hf(
+                load_dataset(name),
+                split=split,
+                channels=c,
+                image_feature_name=image_feature_name,
+                label_feature_name=label_feature_name,
+                filter_labels=filter_labels,
+            )
         except Exception:
             if synthetic is False:
                 raise

@@ -83,8 +83,16 @@ class LIDARLocalizationState(struct.PyTreeNode):
     occ: jax.Array  # (H, W) bool — current map
     occ_padded: jax.Array  # (H+2p, W+2p) bool — ray_pad'ded copy for raycasts
     bank_pos: jax.Array  # () int32 — position in the bank
+    map_idx: jax.Array  # () uint32 — dataset index of the current map
     pos: jax.Array  # (2,) f32 (x, y)
-    initial_pos: jax.Array  # (2,) f32
+    initial_pos: jax.Array  # (2,) f32 — odometry origin (see odo_pending)
+    # The reference aliases __initial_pos to __pos at reset
+    # (lidar_localization2d.py:305-311), and movement mutates __pos
+    # IN-PLACE (:343, :360) while the end-of-step clip (:371-375) rebinds
+    # it. Net effect: the odometry origin is the agent's position after the
+    # FIRST step's movement (pre-clip), not the reset position. odo_pending
+    # is True until that first step locks the origin in.
+    odo_pending: jax.Array  # () bool
 
 
 class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState]):
@@ -160,11 +168,11 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         return obs
 
     def _info(self, state, params) -> dict[str, jax.Array]:
-        return {
-            "map_idx": jnp.take(params.map_bank.indices, state.bank_pos).astype(
-                jnp.int32
-            )
-        }
+        # The reference reports this only from reset()/its vector-env info
+        # update path (:315, :387); the single-env step template rebuilds
+        # info and drops it (active_perception_env.py:101-121) — that
+        # replace-vs-update asymmetry is handled in the compat layer.
+        return {"map_idx": state.map_idx}
 
     # ---- dynamics -----------------------------------------------------------
     def reset_env(self, key, params):
@@ -190,8 +198,10 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
             occ=occ,
             occ_padded=pad_occupancy(occ, params.ray_pad),
             bank_pos=bank_pos,
+            map_idx=jnp.take(params.map_bank.indices, bank_pos).astype(jnp.uint32),
             pos=pos,
             initial_pos=pos,
+            odo_pending=jnp.ones((), dtype=jnp.bool_),
         )
         return self._observe(state, params), state, self._info(state, params)
 
@@ -234,9 +244,16 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
 
         size = self._map_size(params)
         terminated = jnp.any(pos2 < 0.0) | jnp.any(pos2 >= size)
+        # On the first step after reset the odometry origin locks to the
+        # PRE-clip moved position (reference aliasing, see state docstring).
+        new_initial = jnp.where(state.odo_pending, pos2, state.initial_pos)
         pos2 = jnp.clip(pos2, 0.0, size)
 
-        new_state = state.replace(pos=pos2)
+        new_state = state.replace(
+            pos=pos2,
+            initial_pos=new_initial,
+            odo_pending=jnp.zeros((), dtype=jnp.bool_),
+        )
         target = (last_pos / size * 2.0 - 1.0).astype(jnp.float32)
         return APStepResult(
             obs=self._observe(new_state, params),

@@ -14,15 +14,31 @@ materialized in HBM. Maps here are 21x21 / 32x32, so brute force over all
 cells beats a serial DDA march under vmap (no dynamic gathers, no
 sequential dependencies).
 
-Semantics preserved exactly (lidar_localization2d.py:496-536):
-  * hit: distance = max(||contact - origin|| - eps, 0), eps = 1e-3,
-  * miss: distance = ||target - origin|| (no eps),
-  * rays starting on a wall boundary and pointing away are misses for that
-    wall (t_exit == 0 tangency counts as a hit only if the segment actually
-    grazes the box, which matches the union-boundary-inclusive GEOS result).
-The only divergence is the reference's curious single-Point tangency branch
-(:512-514) that reports distance 0 no matter where along the ray the graze
-happens; we report the graze parameter instead (measure-zero event).
+Semantics preserved exactly (lidar_localization2d.py:496-536), including
+the GEOS result-*typing* quirks of the reference's isinstance dispatch:
+  * plain hit (LineString/MultiLineString result): distance =
+    max(||entry - origin|| - eps, 0), eps = 1e-3,
+  * miss (empty result): distance = ||target - origin|| (no eps),
+  * a single isolated corner graze (Point result): distance = 0 no matter
+    where along the ray the graze happens (:512-514),
+  * several isolated grazes (MultiPoint): nearest graze - eps (:515-525),
+  * isolated graze(s) PLUS a real crossing (mixed 0-D/1-D result -> GEOS
+    GeometryCollection): falls through the reference's isinstance chain to
+    the miss branch (:526-528) — the beam reports FULL range even though it
+    crosses a wall. This matters in practice: at reset the agent sits at a
+    cell center and the four diagonal beams pass exactly through lattice
+    corners, so corner pinches between diagonally-adjacent walls are
+    systematically grazed.
+
+A graze is an intersection interval of zero width, detected here by exact
+f32 equality: cell-center origins have exactly-representable half-integer
+coordinates and the f32 diagonal beam directions have bitwise-equal |dx|,
+|dy|, so systematic grazes compute entry == exit bitwise (the host-side
+f64 shim uses a 1e-9 width threshold for the same events; see
+tests/shapely_shim.py). A graze is *isolated* (not absorbed into an
+adjacent wall's crossing interval) iff the cells the ray traverses
+immediately before and after the grazed lattice corner are both free —
+a pure 4-neighbourhood occupancy test, no gathers.
 """
 
 from __future__ import annotations
@@ -82,48 +98,95 @@ def raycast_grid(
     d = targets.astype(jnp.float32) - o  # (R, 2)
     seg_len = jnp.linalg.norm(d, axis=-1)  # (R,)
 
+    # 4-neighbour occupancy (False outside the grid) for the isolated-graze
+    # test; tiny (H, W) bool maps, shifted once per call.
+    pad = jnp.pad(occb, 1, constant_values=False)
+    occ_xm = pad[1:-1, :-2]  # cell (x-1, y)
+    occ_xp = pad[1:-1, 2:]   # cell (x+1, y)
+    occ_ym = pad[:-2, 1:-1]  # cell (x, y-1)
+    occ_yp = pad[2:, 1:-1]   # cell (x, y+1)
+
+    # Per-ray axis signs select which neighbours flank a grazed corner.
+    sx_pos = d[:, 0] >= 0.0  # (R,)
+    sy_pos = d[:, 1] >= 0.0
+
     # The slab test is separable: per-ray interval endpoints depend only on
     # the cell's column (x axis) or row (y axis), so the multiply/divide
     # work is O(R*(H+W)) and the (R, H, W) combination is pure
-    # min/max/compare fused into the reduce — with bit-identical results.
+    # min/max/compare fused into the reduces — with bit-identical results.
     # Measured on v5e: the 3-D form wins for W >= 32 (+20% end-to-end on
     # rooms maps) but loses on narrow maps (W=21 maze) where lane padding
     # of the last axis dominates; those use the flat per-cell form.
     if w >= 32:
         col = jnp.arange(w, dtype=jnp.float32)
         row = jnp.arange(h, dtype=jnp.float32)
-        nx, fx = _slab_axis(o[0], d[:, 0:1], col[None, :], col[None, :] + 1.0)
-        ny, fy = _slab_axis(o[1], d[:, 1:2], row[None, :], row[None, :] + 1.0)
-        t_enter = jnp.maximum(nx[:, None, :], ny[:, :, None])  # (R, H, W)
-        t_exit = jnp.minimum(fx[:, None, :], fy[:, :, None])
-        valid = (
-            occb[None] & (t_enter <= t_exit) & (t_exit >= 0.0) & (t_enter <= 1.0)
-        )
-        t_hit = jnp.min(
-            jnp.where(valid, jnp.maximum(t_enter, 0.0), jnp.inf), axis=(-2, -1)
-        )  # (R,)
+        nx1, fx1 = _slab_axis(o[0], d[:, 0:1], col[None, :], col[None, :] + 1.0)
+        ny1, fy1 = _slab_axis(o[1], d[:, 1:2], row[None, :], row[None, :] + 1.0)
+        nx, fx = nx1[:, None, :], fx1[:, None, :]  # (R, 1, W)
+        ny, fy = ny1[:, :, None], fy1[:, :, None]  # (R, H, 1)
+        occ_r = occb[None]
+
+        def bcast(m):  # (H, W) -> (1, H, W)
+            return m[None]
+
+        sgn = (slice(None), None, None)  # ray scalars -> (R, 1, 1)
+        axes = (-2, -1)
     else:
         occf = occb.reshape(-1)
-        cy, cx = jnp.divmod(jnp.arange(h * w, dtype=jnp.int32), w)
-        cx = cx.astype(jnp.float32)
-        cy = cy.astype(jnp.float32)
+        cyi, cxi = jnp.divmod(jnp.arange(h * w, dtype=jnp.int32), w)
+        cx = cxi.astype(jnp.float32)
+        cy = cyi.astype(jnp.float32)
         nx, fx = _slab_axis(o[0], d[:, 0:1], cx[None, :], cx[None, :] + 1.0)
         ny, fy = _slab_axis(o[1], d[:, 1:2], cy[None, :], cy[None, :] + 1.0)
-        t_enter = jnp.maximum(nx, ny)
-        t_exit = jnp.minimum(fx, fy)
-        valid = (
-            occf[None, :]
-            & (t_enter <= t_exit)
-            & (t_exit >= 0.0)
-            & (t_enter <= 1.0)
-        )
-        t_hit = jnp.min(
-            jnp.where(valid, jnp.maximum(t_enter, 0.0), jnp.inf), axis=-1
-        )  # (R,)
+        occ_r = occf[None, :]
+
+        def bcast(m):  # (H, W) -> (1, H*W)
+            return m.reshape(-1)[None]
+
+        sgn = (slice(None), None)
+        axes = (-1,)
+
+    a = jnp.maximum(jnp.maximum(nx, ny), 0.0)  # clipped entry
+    b = jnp.minimum(jnp.minimum(fx, fy), 1.0)  # clipped exit
+    valid = occ_r & (a <= b)
+    nd = valid & (a < b)  # real crossing interval
+    dg = valid & (a == b)  # zero-width graze
+
+    # Flanking cells of the grazed corner: entry-from-x == exit-from-y
+    # (case A) grazes corner (cx + [dx<0], cy + [dy>0]); the ray passes
+    # from cell (cx - sx, cy) into (cx, cy + sy). Case B (entry-from-y ==
+    # exit-from-x) is the mirror. Occupied flank => the graze point lies on
+    # an adjacent wall's crossing interval and merges into it.
+    case_a = nx >= ny
+    flank_a = jnp.where(sy_pos[sgn], bcast(occ_yp), bcast(occ_ym)) | jnp.where(
+        sx_pos[sgn], bcast(occ_xm), bcast(occ_xp)
+    )
+    flank_b = jnp.where(sx_pos[sgn], bcast(occ_xp), bcast(occ_xm)) | jnp.where(
+        sy_pos[sgn], bcast(occ_ym), bcast(occ_yp)
+    )
+    iso = dg & ~jnp.where(case_a, flank_a, flank_b)
+
+    any_nd = jnp.any(nd, axis=axes)  # (R,)
+    t_nd = jnp.min(jnp.where(nd, a, jnp.inf), axis=axes)
+    any_iso = jnp.any(iso, axis=axes)
+    t_iso_min = jnp.min(jnp.where(iso, a, jnp.inf), axis=axes)
+    t_iso_max = jnp.max(jnp.where(iso, a, -jnp.inf), axis=axes)
+
+    # GEOS result typing (see module docstring): line-only -> nearest entry;
+    # points-only -> Point (dist 0) or MultiPoint (nearest graze); mixed ->
+    # GeometryCollection -> treated as a miss by the reference.
+    hit_line = any_nd & ~any_iso
+    multi_pt = ~any_nd & any_iso & (t_iso_min < t_iso_max)
+    single_pt = ~any_nd & any_iso & (t_iso_min == t_iso_max)
+    t_hit = jnp.where(
+        hit_line, t_nd, jnp.where(multi_pt | single_pt, t_iso_min, jnp.inf)
+    )
 
     hit = jnp.isfinite(t_hit)
     dist = jnp.where(
-        hit, jnp.maximum(t_hit * seg_len - eps, 0.0), seg_len
+        single_pt,
+        0.0,
+        jnp.where(hit, jnp.maximum(t_hit * seg_len - eps, 0.0), seg_len),
     ).astype(jnp.float32)
     return dist, t_hit
 

@@ -27,7 +27,6 @@ def load_reference_ap_gym():
     minimal stub lets the package import. Returns None if unavailable.
     """
     import importlib
-    import types
 
     if "ap_gym" in sys.modules:
         return sys.modules["ap_gym"]
@@ -38,17 +37,12 @@ def load_reference_ap_gym():
     try:
         import shapely  # noqa: F401
     except ImportError:
-        stub = types.ModuleType("shapely")
-        for name in (
-            "union_all",
-            "box",
-            "LineString",
-            "Point",
-            "MultiPoint",
-            "MultiLineString",
-        ):
-            setattr(stub, name, type(name, (), {}))
-        sys.modules["shapely"] = stub
+        # Install the pure-NumPy geometry shim (tests/shapely_shim.py) so
+        # the reference's LIDAR env actually runs in-container and golden
+        # LIDAR parity can be tested (see that module's docstring).
+        import shapely_shim
+
+        sys.modules["shapely"] = shapely_shim
     try:
         return importlib.import_module("ap_gym")
     except Exception:

@@ -241,6 +241,171 @@ def test_image_classification_vector_parity(ref_ap):
         _cmp(r_info, m_info, "info", t, env_id)
 
 
+# ---------------------------------------------------------------------------
+# LIDAR golden parity. The reference LIDAR env runs in-container through the
+# pure-NumPy geometry shim (tests/shapely_shim.py, installed as
+# sys.modules["shapely"] by conftest), so these are true golden-trajectory
+# diffs against /root/reference/ap_gym/envs/lidar_localization2d.py — wall
+# hits, slides, corner grazes, TimeLimit terminations and post-termination
+# resets included.
+
+
+@pytest.mark.parametrize(
+    "env_id",
+    [
+        "LIDARLocMaze-v0",
+        "LIDARLocMazeStatic-v0",
+        "LIDARLocRooms-v0",
+        "LIDARLocRoomsStatic-v0",
+    ],
+)
+def test_lidar_parity_single(ref_ap, env_id):
+    # 220 steps spans two TimeLimit terminations (step_limit=100) and the
+    # explicit reseeds after each; wall slides happen constantly under
+    # random actions.
+    _rollout_compare(
+        ref_ap.make(env_id), apc.make(env_id), env_id, steps=220,
+        reseed_on_done=True,
+    )
+
+
+def test_lidar_parity_vector_sync(ref_ap):
+    """Vector LIDAR under the reference's SyncVectorEnv (per-sub-env
+    np_random chains, per-env map streams, NEXT_STEP autoreset) vs the apx
+    vector adapter, including the masked map_idx reset-info convention."""
+    env_id = "LIDARLocMaze-v0"
+    n = 3
+    ref = ref_ap.make_vec(env_id, num_envs=n)
+    mine = apc.make_vec(env_id, num_envs=n)
+    rng = np.random.default_rng(3)
+    ro, _ = ref.reset(seed=11)
+    mo, _ = mine.reset(seed=11)
+    _cmp(ro, mo, "obs", -1, env_id)
+    for t in range(120):
+        a = {
+            "action": rng.uniform(-1, 1, (n, 2)).astype(np.float32),
+            "prediction": rng.normal(size=(n, 2)).astype(np.float32),
+        }
+        r_obs, r_rew, r_term, r_trunc, r_info = ref.step(a)
+        m_obs, m_rew, m_term, m_trunc, m_info = mine.step(a)
+        _cmp(r_obs, m_obs, "obs", t, env_id)
+        _cmp(r_rew, m_rew, "reward", t, env_id)
+        np.testing.assert_array_equal(np.asarray(r_term), np.asarray(m_term))
+        np.testing.assert_array_equal(np.asarray(r_trunc), np.asarray(m_trunc))
+        for k in ("base_reward", "_base_reward", "_prediction", "map_idx",
+                  "_map_idx"):
+            assert (k in r_info) == (k in m_info), (t, k, sorted(r_info),
+                                                    sorted(m_info))
+            if k in r_info:
+                _cmp(r_info[k], m_info[k], f"info/{k}", t, env_id)
+        if "prediction" in r_info:
+            _cmp(r_info["prediction"], m_info["prediction"],
+                 "info/prediction", t, env_id)
+
+
+def test_lidar_sparse_reference_reset_is_broken(ref_ap):
+    """LIDAR sparse ids are registered as SINGLE-env SparsifyWrapper stacks
+    (vectorization goes through SyncVectorEnv over them), and
+    SparsifyWrapper.reset KeyErrors on the missing info["prediction"]
+    (sparsify_wrapper.py:127-135, :153-160) — the same reference bug as the
+    single-env image sparse case. Golden parity is therefore impossible;
+    this documents the bug and checks apx's sparse LIDAR self-consistency:
+    reward == base_reward - loss * terminated against the dense twin."""
+    with pytest.raises(KeyError, match="prediction"):
+        ref_ap.make_vec("LIDARLocRooms-sparse-v0", num_envs=2).reset(seed=21)
+
+    n = 2
+    sparse = apc.make_vec("LIDARLocRooms-sparse-v0", num_envs=n)
+    dense = apc.make_vec("LIDARLocRooms-v0", num_envs=n)
+    rng = np.random.default_rng(5)
+    so, _ = sparse.reset(seed=21)
+    do, _ = dense.reset(seed=21)
+    _cmp(so, do, "obs", -1, "sparse-vs-dense")
+    for t in range(110):
+        a = {
+            "action": rng.uniform(-1, 1, (n, 2)).astype(np.float32),
+            "prediction": rng.normal(size=(n, 2)).astype(np.float32),
+        }
+        s_obs, s_rew, s_term, s_trunc, s_info = sparse.step(a)
+        d_obs, d_rew, d_term, d_trunc, d_info = dense.step(a)
+        _cmp(s_obs, d_obs, "obs", t, "sparse-vs-dense")
+        np.testing.assert_array_equal(s_term, d_term)
+        if "base_reward" in s_info:
+            w = np.asarray(s_term, np.float32)
+            expect = s_info["base_reward"] - s_info["prediction"]["loss"] * w
+            prov = s_info.get("_base_reward", np.ones(n, bool))
+            np.testing.assert_allclose(
+                np.where(prov, s_rew, 0), np.where(prov, expect, 0),
+                atol=1e-5, rtol=1e-5,
+            )
+
+
+def test_lidar_parity_oob_termination(ref_ap):
+    """Out-of-bounds termination (+ position clip) golden parity on a
+    custom border-free map — the registered maps are wall-enclosed, so OOB
+    (lidar_localization2d.py:366-375) is unreachable there. Drives the
+    agent across the open border and checks the terminated flag, clipped
+    position obs, and post-termination reset on both sides."""
+    import jax.numpy as jnp
+    from ap_gym.envs.floor_map import FloorMapDataset
+    from ap_gym.envs.lidar_localization2d import LIDARLocalization2DEnv
+
+    occ = np.zeros((5, 5), dtype=np.bool_)
+    occ[2, 2] = True  # one interior wall so lidar still sees something
+
+    class OpenMapDataset(FloorMapDataset):
+        def __init__(self):
+            super().__init__(5, 5)
+
+        def _get_length(self):
+            return 1
+
+        def get_data_point(self, idx):
+            return occ
+
+        def get_data_point_batch(self, idx):
+            return np.stack([occ for _ in idx])
+
+    ref = ref_ap.ensure_active_perception_env(
+        LIDARLocalization2DEnv(OpenMapDataset(), static_map=True)
+    )
+
+    from apx.compat.gym_env import GymAPEnv
+    from apx.data.floor_map import MapBank
+    from apx.envs.lidar_localization import LIDARLocalizationEnv
+
+    bank = MapBank(
+        maps=jnp.asarray(occ[None]),
+        indices=jnp.zeros((1,), jnp.uint32),
+        free_counts=jnp.asarray([int((~occ).sum())], jnp.int32),
+    )
+    env = LIDARLocalizationEnv(map_bank=bank, static_map=True)
+    mine = GymAPEnv(env, env.default_params(), autoreset="none", rng="reference")
+
+    n_terms = 0
+    for seed in range(6):
+        ro, ri = ref.reset(seed=seed)
+        mo, mi = mine.reset(seed=seed)
+        _cmp(ro, mo, "obs", -1, "OOB")
+        _cmp(ri, mi, "info", -1, "OOB")
+        # March off the map toward the nearest open border.
+        a = {
+            "action": np.array([0.9, 0.7], np.float32),
+            "prediction": np.zeros(2, np.float32),
+        }
+        for t in range(12):
+            r_obs, r_rew, r_term, _, r_info = ref.step(a)
+            m_obs, m_rew, m_term, _, m_info = mine.step(a)
+            _cmp(r_obs, m_obs, "obs", t, "OOB")
+            _cmp(np.float64(r_rew), np.float64(m_rew), "reward", t, "OOB")
+            assert bool(r_term) == bool(m_term), (seed, t)
+            _cmp(r_info, m_info, "info", t, "OOB")
+            if r_term:
+                n_terms += 1
+                break
+    assert n_terms >= 4  # the march actually exercises the OOB branch
+
+
 def test_seed_determinism_across_instances():
     """Two independently constructed compat envs with the same seed produce
     identical trajectories (no hidden global state)."""

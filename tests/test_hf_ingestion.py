@@ -1,0 +1,139 @@
+"""Real HuggingFace ingestion path, exercised offline.
+
+The container has zero egress, so every registered MNIST/CIFAR10/
+TinyImageNet id runs on the synthetic fallback bank — but the REAL
+ingestion branch (apx/data/huggingface.py:bank_from_hf) is tested here
+against in-memory ``datasets.Dataset.from_dict`` fixtures, including
+golden parity against the reference's own
+HuggingfaceImageClassificationDataset with its loader monkeypatched to
+return the same fixture (so split selection, filter_labels remap +
+recast, grayscale->RGB and uint8 packing are diffed, not just asserted).
+"""
+
+import numpy as np
+import pytest
+
+from conftest import load_reference_ap_gym
+
+import jax  # noqa: F401  (conftest pins the cpu backend)
+
+datasets = pytest.importorskip("datasets")
+PIL = pytest.importorskip("PIL")
+import PIL.Image  # noqa: E402
+
+from apx.data.huggingface import bank_from_hf  # noqa: E402
+
+
+def _fixture(channels=1, n=10, num_classes=4, hw=(9, 7), seed=0):
+    """DatasetDict with train/test splits of tiny deterministic images."""
+    rng = np.random.default_rng(seed)
+    names = [f"cls{i}" for i in range(num_classes)]
+    feats = datasets.Features(
+        {
+            "image": datasets.Image(),
+            "label": datasets.ClassLabel(names=names),
+        }
+    )
+
+    def split(count, off):
+        arrs = [
+            rng.integers(0, 256, (*hw, channels), dtype=np.uint8)
+            for _ in range(count)
+        ]
+        if channels == 1:
+            arrs = [a[..., 0] for a in arrs]
+        imgs = [PIL.Image.fromarray(a) for a in arrs]
+        labels = [(i + off) % num_classes for i in range(count)]
+        return datasets.Dataset.from_dict(
+            {"image": imgs, "label": labels}, features=feats
+        )
+
+    return datasets.DatasetDict({"train": split(n, 0), "test": split(4, 1)})
+
+
+@pytest.fixture(scope="module")
+def ref_hf_cls(request):
+    ap = load_reference_ap_gym()
+    if ap is None:
+        pytest.skip("reference not importable")
+    from ap_gym.envs.image import huggingface_image_classification_dataset as m
+
+    return m
+
+
+def _ref_dataset(ref_mod, dd, monkeypatch, **kwargs):
+    """Reference HuggingfaceImageClassificationDataset over an in-memory
+    DatasetDict (its load_dataset monkeypatched; reference :52-62)."""
+    monkeypatch.setattr(ref_mod, "load_dataset", lambda *a, **k: dd)
+    ds = ref_mod.HuggingfaceImageClassificationDataset("fixture", **kwargs)
+    ds.load()
+    return ds
+
+
+@pytest.mark.parametrize("split", ["train", "test"])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_bank_matches_reference_packing(ref_hf_cls, monkeypatch, split, channels):
+    dd = _fixture(channels=1)  # grayscale source exercises the RGB repeat
+    ref = _ref_dataset(ref_hf_cls, dd, monkeypatch, channels=channels, split=split)
+    bank = bank_from_hf(dd, split=split, channels=channels)
+    assert bank.length == len(ref)
+    assert bank.num_classes == ref.num_classes
+    idx = np.arange(len(ref))
+    ref_imgs, ref_labels = ref[idx]
+    got_imgs, got_labels = jax.vmap(bank.fetch)(idx)
+    np.testing.assert_array_equal(np.asarray(got_labels), ref_labels)
+    # uint8/255 then repeat == repeat then /255: bitwise equal.
+    np.testing.assert_array_equal(np.asarray(got_imgs), ref_imgs)
+    assert np.asarray(bank.images).dtype == np.uint8  # stays uint8 in HBM
+
+
+def test_filter_labels_matches_reference(ref_hf_cls, monkeypatch):
+    dd = _fixture(channels=3, n=12, num_classes=4)
+    filt = ["cls2", "cls0"]  # out-of-order on purpose: remap is filter-order
+    ref = _ref_dataset(
+        ref_hf_cls, dd, monkeypatch, channels=3, filter_labels=filt
+    )
+    bank = bank_from_hf(dd, channels=3, filter_labels=filt)
+    assert bank.length == len(ref)
+    assert bank.num_classes == ref.num_classes == 2
+    idx = np.arange(len(ref))
+    ref_imgs, ref_labels = ref[idx]
+    got_imgs, got_labels = jax.vmap(bank.fetch)(idx)
+    np.testing.assert_array_equal(np.asarray(got_labels), ref_labels)
+    np.testing.assert_array_equal(np.asarray(got_imgs), ref_imgs)
+
+
+def test_float_images_not_rescaled():
+    """Non-uint8 image features stay float32 verbatim — the reference's
+    _process_imgs_np (image_classification_dataset.py:66-70) does NOT
+    divide floats by 255."""
+    rng = np.random.default_rng(3)
+    imgs = [rng.uniform(0, 1, (5, 5, 3)).astype(np.float32) for _ in range(4)]
+    feats = datasets.Features(
+        {
+            "image": datasets.Array3D((5, 5, 3), "float32"),
+            "label": datasets.ClassLabel(names=["x", "y"]),
+        }
+    )
+    ds = datasets.Dataset.from_dict(
+        {"image": [i.tolist() for i in imgs], "label": [0, 1, 0, 1]},
+        features=feats,
+    )
+    dd = datasets.DatasetDict({"train": ds})
+    bank = bank_from_hf(dd, channels=3)
+    assert np.asarray(bank.images).dtype == np.float32
+    got, _ = bank.fetch(np.int32(2))
+    np.testing.assert_allclose(np.asarray(got), imgs[2], rtol=1e-6)
+
+
+def test_channel_mismatch_raises():
+    dd = _fixture(channels=3)
+    with pytest.raises(ValueError, match="channels"):
+        bank_from_hf(dd, channels=1)
+
+
+def test_synthetic_fallback_marked():
+    from apx.data.huggingface import load_hf_image_bank
+
+    bank = load_hf_image_bank("mnist", split="train", num_points=16)
+    assert getattr(bank, "_bank_kind", None) == "synthetic"
