@@ -77,6 +77,8 @@ def make_vec(
     log_wrapper: bool = True,
     **overrides,
 ):
+    if overrides.pop("render_mode", "rgb_array") != "rgb_array":
+        raise ValueError("only render_mode='rgb_array' is supported")
     entry = _entry(env_id)
     env = entry.build()
     params = env.default_params(**overrides)
@@ -108,19 +110,12 @@ def make_vec(
     return gym_env
 
 
-def ensure_active_perception_env(env):
-    """API mirror of ap_gym.ensure_active_perception_env
-    (active_perception_env.py:251-258): compat env objects and their
-    wrappers always re-expose loss_fn/prediction spaces (delegation), so
-    anything produced by apx.compat.make passes through unchanged; plain
-    gymnasium envs are rejected with guidance instead of pseudo-wrapped."""
-    if hasattr(env, "loss_fn") and hasattr(env, "prediction_space"):
-        return env
-    raise TypeError(
-        f"{type(env).__name__} is not an active-perception env; wrap your "
-        "functional env with apx.wrappers.PseudoActivePerceptionEnv before "
-        "the compat adapter."
-    )
-
-
-ensure_active_perception_vector_env = ensure_active_perception_env
+# Full reference dispatch (passthrough -> RestoreWrapper -> PseudoWrapper,
+# active_perception_env.py:251-258): anything produced by apx.compat.make
+# passes through unchanged (duck-typed AP surface); foreign gym wrapper
+# stacks are dug through; plain gymnasium envs are pseudo-wrapped with
+# ZeroLossFn and empty prediction spaces.
+from .gym_classes import (  # noqa: E402
+    ensure_active_perception_env,
+    ensure_active_perception_vector_env,
+)

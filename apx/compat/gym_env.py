@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import gymnasium as gym
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,11 +50,17 @@ def _squeeze_tree(tree):
     return jax.tree_util.tree_map(lambda x: x[0], tree)
 
 
-class GymVectorAPEnv:
-    """Vectorized gymnasium-style adapter (duck-types gym.vector.VectorEnv's
-    step/reset API plus the reference's loss_fn/prediction spaces)."""
+class GymVectorAPEnv(gym.vector.VectorEnv):
+    """Vectorized gymnasium-style adapter: a real gym.vector.VectorEnv
+    subclass (foreign wrappers isinstance-check it) exposing the
+    reference's loss_fn/prediction spaces."""
 
-    metadata = {"autoreset_mode": "NextStep"}
+    metadata = {
+        "autoreset_mode": "NextStep",
+        "render_modes": ["rgb_array"],
+        "render_fps": 4,
+    }
+    render_mode = "rgb_array"
 
     def __init__(
         self,
@@ -114,13 +121,18 @@ class GymVectorAPEnv:
         self.single_prediction_target_space = to_gym_space(
             env.prediction_target_space(params)
         )
-        import gymnasium as gym
-
         self.observation_space = gym.vector.utils.batch_space(
             self.single_observation_space, num_envs
         )
         self.action_space = gym.vector.utils.batch_space(
             self.single_action_space, num_envs
+        )
+        # Batched accessors, like BaseActivePerceptionVectorEnv's properties
+        # (active_perception_vector_env.py:52-66).
+        self.inner_action_space = self.action_space["action"]
+        self.prediction_space = self.action_space["prediction"]
+        self.prediction_target_space = gym.vector.utils.batch_space(
+            self.single_prediction_target_space, num_envs
         )
 
         # ---- jitted device functions ----------------------------------
@@ -193,9 +205,13 @@ class GymVectorAPEnv:
     # ------------------------------------------------------------------
     @property
     def loss_fn(self):
-        from .loss_adapter import CompatLossFn
+        # Cached: the reference stores loss_fn as an attribute, so repeated
+        # accesses are identity-stable (user code compares/holds it).
+        if getattr(self, "_compat_loss", None) is None:
+            from .loss_adapter import CompatLossFn
 
-        return CompatLossFn(self._loss)
+            self._compat_loss = CompatLossFn(self._loss)
+        return self._compat_loss
 
     def _ensure_rng(self, seed):
         if seed is not None or (self._np_random is None and self._key is None):
@@ -414,7 +430,7 @@ class GymVectorAPEnv:
         pass
 
 
-class GymAPEnv:
+class GymAPEnv(gym.Env):
     """Single-env gymnasium-style adapter: a squeezed 1-env GymVectorAPEnv,
     mirroring the reference's VectorToSingleWrapper construction for image
     envs and plain envs for the rest."""

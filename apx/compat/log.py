@@ -15,6 +15,7 @@ bookkeeping); the TPU-native path uses apx.wrappers.metrics instead.
 
 from __future__ import annotations
 
+import gymnasium as gym
 import numpy as np
 import scipy.special
 
@@ -68,12 +69,43 @@ def _merge_stats_vec(info, metrics, done):
     return {**info, "stats": stats}
 
 
-class _Delegate:
+class _Delegate(gym.Env):
+    """Delegating wrapper base. A real gym.Env subclass so foreign gym
+    wrappers accept log-wrapped compat envs; attributes gym.Env defines on
+    the class (metadata/render_mode/spec) are delegated explicitly since
+    __getattr__ only fires for missing names."""
+
     def __init__(self, env):
         self.env = env
 
     def __getattr__(self, name):
         return getattr(self.env, name)
+
+    @property
+    def metadata(self):
+        return self.env.metadata
+
+    @metadata.setter
+    def metadata(self, value):
+        self.env.metadata = value
+
+    @property
+    def render_mode(self):
+        return getattr(self.env, "render_mode", None)
+
+    @property
+    def spec(self):
+        return getattr(self.env, "spec", None)
+
+    @property
+    def unwrapped(self):
+        return self.env.unwrapped if hasattr(self.env, "unwrapped") else self.env
+
+    def render(self):
+        return self.env.render()
+
+    def close(self):
+        return self.env.close()
 
 
 class ClassificationLogWrapper(_Delegate):

@@ -256,9 +256,16 @@ class LIDARShim(HostShim):
         from ..data.floor_map import generate_maze_map, generate_rooms_map
 
         h, w = self.params.map_bank.map_hw
-        if (h, w) == (21, 21):
+        kind = self.params.map_bank.kind
+        if kind == "maze":
             return generate_maze_map(idx, w, h)
-        return generate_rooms_map(idx, w, h)
+        if kind == "rooms":
+            return generate_rooms_map(idx, w, h)
+        raise ValueError(
+            f"cannot regenerate maps for a {kind!r} bank in parity mode — "
+            "build the bank with make_maze_bank/make_rooms_bank or use "
+            "static_map=True"
+        )
 
     def reset_draws(self):
         occs, poss, idxs = [], [], []

@@ -137,6 +137,11 @@ class MapBank(struct.PyTreeNode):
     maps: jax.Array
     indices: jax.Array  # (M,) int64-as-int32-pair not needed; we keep uint32
     free_counts: jax.Array  # (M,) int32 — number of free cells per map
+    # Which procedural family generated the bank ("maze" | "rooms" |
+    # "custom"): parity-mode map regeneration dispatches on THIS, never on
+    # the map shape (a non-default-sized bank must not silently switch
+    # generator families).
+    kind: str = struct.field(pytree_node=False, default="custom")
 
     @property
     def num_maps(self) -> int:
@@ -152,7 +157,7 @@ class MapBank(struct.PyTreeNode):
 
 def _make_bank(
     gen, num_maps: int, seed: int | None, explicit_indices, native_gen=None,
-    backend: str = "auto",
+    backend: str = "auto", kind: str = "custom",
 ) -> MapBank:
     if explicit_indices is not None:
         indices = np.asarray(explicit_indices, dtype=np.uint64)
@@ -184,6 +189,7 @@ def _make_bank(
         maps=jnp.asarray(maps),
         indices=jnp.asarray(indices.astype(np.uint32)),
         free_counts=jnp.asarray(free),
+        kind=kind,
     )
 
 
@@ -212,6 +218,7 @@ def make_maze_bank(
         indices,
         native_gen=native_gen,
         backend=backend,
+        kind="maze",
     )
 
 
@@ -239,4 +246,5 @@ def make_rooms_bank(
         indices,
         native_gen=native_gen,
         backend=backend,
+        kind="rooms",
     )

@@ -165,6 +165,48 @@ BENCHES = {
 }
 
 
+def bench_env_multihost(venv, params, num_steps: int, key, num_envs_per_device):
+    """Mesh-sharded rollout over ALL global devices (per BASELINE.json's
+    host-scaling-efficiency metric). Runnable as-is on a real v5e-8+ slice:
+    each host calls this after jax.distributed.initialize(); GSPMD shards
+    the env batch over the global mesh and the timed region contains no
+    host round-trips. Also runs on the virtual CPU mesh
+    (XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
+    from apx.distrib import (
+        EnvSharding,
+        make_env_mesh,
+        shard_params,
+        sharded_rollout,
+    )
+
+    mesh = make_env_mesh()
+    sharding = EnvSharding(mesh)
+    ndev = sharding.num_devices()
+    n = venv.num_envs
+    assert n == num_envs_per_device * ndev
+    params = shard_params(sharding, params)
+    act_space = venv.env.inner_action_space(params)
+    pred_space = venv.env.prediction_space(params)
+
+    def policy(k, obs):
+        ka, kp = jax.random.split(k)
+        return {
+            "action": jax.random.uniform(
+                ka, (n, *act_space.shape), minval=-1.0, maxval=1.0
+            ),
+            "prediction": jax.random.normal(kp, (n, *pred_space.shape)),
+        }
+
+    run = sharded_rollout(venv, sharding, params, policy, num_steps)
+    wk, bk = jax.random.split(key)
+    jax.block_until_ready(run(wk))  # warmup/compile
+    t0 = time.perf_counter()
+    out = run(bk)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return n * num_steps / dt, ndev
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--env", default="lidar_rooms", choices=sorted(BENCHES))
@@ -175,7 +217,44 @@ def main():
         "--profile", metavar="DIR", default=None,
         help="capture a jax.profiler trace of the timed region into DIR",
     )
+    ap.add_argument(
+        "--multihost", action="store_true",
+        help="shard --num-envs PER DEVICE over the global mesh "
+        "(call jax.distributed via --distributed on multi-host slices)",
+    )
+    ap.add_argument(
+        "--distributed", action="store_true",
+        help="call jax.distributed.initialize() before anything else",
+    )
     args = ap.parse_args()
+
+    if args.distributed:
+        from apx.distrib import init_distributed
+
+        init_distributed()
+
+    if args.multihost:
+        ndev = len(jax.devices())
+        total = args.num_envs * ndev
+        venv, params, baseline = BENCHES[args.env](total)
+        sps, ndev = bench_env_multihost(
+            venv, params, args.steps, jax.random.key(0), args.num_envs
+        )
+        if jax.process_index() == 0:
+            print(
+                json.dumps(
+                    {
+                        "metric": f"{args.env}_env_steps_per_s_multichip",
+                        "value": round(sps, 1),
+                        "unit": "env-steps/s",
+                        "vs_baseline": round(sps / baseline, 3),
+                        "devices": ndev,
+                        "processes": jax.process_count(),
+                        "per_device": round(sps / ndev, 1),
+                    }
+                )
+            )
+        return
 
     key = jax.random.key(0)
     names = sorted(BENCHES) if args.all else [args.env]

@@ -1,0 +1,274 @@
+"""Drop-in alias surface: the reference's full public API on apx.
+
+Covers VERDICT round-1 items 3a-c: plain-gym pseudo-wrapping, the full
+``ap_gym.__init__`` export list, and the reference's own example scripts
+running unmodified against the alias (subprocess, matplotlib stubbed,
+loops shortened).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax  # noqa: F401  (conftest pins the cpu backend)
+import gymnasium as gym
+
+from apx.compat import gym_classes as G
+
+REFERENCE_EXAMPLES = "/root/reference/example"
+
+# The reference package's complete top-level export list
+# (/root/reference/ap_gym/__init__.py:1-47).
+REFERENCE_EXPORTS = [
+    "idoc",
+    "ActiveClassificationEnv",
+    "ActiveClassificationVectorEnv",
+    "ActiveClassificationLogWrapper",
+    "ActiveClassificationVectorLogWrapper",
+    "ActivePerceptionEnv",
+    "BaseActivePerceptionEnv",
+    "ActivePerceptionWrapper",
+    "ActivePerceptionRestoreWrapper",
+    "ActivePerceptionActionSpace",
+    "PseudoActivePerceptionWrapper",
+    "ensure_active_perception_env",
+    "NoActivePerceptionEnvError",
+    "ActivePerceptionVectorEnv",
+    "BaseActivePerceptionVectorEnv",
+    "ActivePerceptionVectorWrapper",
+    "ActivePerceptionVectorRestoreWrapper",
+    "PseudoActivePerceptionVectorWrapper",
+    "ensure_active_perception_vector_env",
+    "ActiveRegressionEnv",
+    "ActiveRegressionVectorEnv",
+    "ActiveRegressionLogWrapper",
+    "ActiveRegressionVectorLogWrapper",
+    "ImageSpace",
+    "LossFn",
+    "LambdaLossFn",
+    "ZeroLossFn",
+    "CrossEntropyLossFn",
+    "MSELossFn",
+    "TimeLimit",
+    "VectorToSingleWrapper",
+    "ActivePerceptionVectorToSingleWrapper",
+    "LogitSpace",
+    "SparsifyWrapper",
+    "SparsifyVectorWrapper",
+    "make",
+    "make_vec",
+    "register_envs",
+    "register",
+]
+
+
+@pytest.fixture()
+def alias():
+    """A fresh alias module, without clobbering an already-imported real
+    reference (other tests load it for parity)."""
+    from apx.compat.ap_gym_alias import install
+
+    saved = sys.modules.get("ap_gym")
+    mod = install("ap_gym")
+    yield mod
+    if saved is not None:
+        sys.modules["ap_gym"] = saved
+    else:
+        sys.modules.pop("ap_gym", None)
+
+
+def test_alias_has_full_reference_export_list(alias):
+    missing = [n for n in REFERENCE_EXPORTS if not hasattr(alias, n)]
+    assert not missing, f"alias lacks reference exports: {missing}"
+
+
+class _ToyEnv(gym.Env):
+    """Plain gymnasium env (no AP surface)."""
+
+    observation_space = gym.spaces.Box(-1, 1, shape=(3,), dtype=np.float32)
+    action_space = gym.spaces.Box(-1, 1, shape=(2,), dtype=np.float32)
+
+    def reset(self, *, seed=None, options=None):
+        super().reset(seed=seed)
+        self._t = 0
+        return np.zeros(3, np.float32), {}
+
+    def step(self, action):
+        self._t += 1
+        return (
+            np.full(3, self._t, np.float32),
+            0.5,
+            self._t >= 5,
+            False,
+            {"custom": self._t},
+        )
+
+
+def test_pseudo_wraps_plain_gym_env(alias):
+    """ensure_active_perception_env converts a plain gym env instead of
+    raising (active_perception_env.py:213-258): ZeroLossFn, empty Tuple
+    spaces, base_reward/prediction info injection."""
+    env = alias.ensure_active_perception_env(_ToyEnv())
+    assert isinstance(env, alias.PseudoActivePerceptionWrapper)
+    assert env.prediction_space == gym.spaces.Tuple(())
+    assert env.prediction_target_space == gym.spaces.Tuple(())
+    obs, info = env.reset(seed=0)
+    assert info["prediction"] == {"target": ()}
+    obs, reward, term, trunc, info = env.step({"action": np.zeros(2), "prediction": ()})
+    assert reward == 0.5 and info["base_reward"] == 0.5
+    assert info["prediction"]["target"] == ()
+    assert float(info["prediction"]["loss"]) == 0.0
+    assert info["custom"] == 1  # pseudo wrapper UPDATES the env's info
+    assert float(env.loss_fn((), (), ())) == 0.0
+
+
+def test_pseudo_wraps_plain_gym_vector_env(alias):
+    venv = gym.vector.SyncVectorEnv([_ToyEnv, _ToyEnv])
+    wrapped = alias.ensure_active_perception_vector_env(venv)
+    assert isinstance(wrapped, alias.PseudoActivePerceptionVectorWrapper)
+    obs, info = wrapped.reset(seed=0)
+    assert info["prediction"] == {"target": ()}
+    obs, reward, term, trunc, info = wrapped.step(
+        {"action": np.zeros((2, 2), np.float32), "prediction": ()}
+    )
+    np.testing.assert_array_equal(info["base_reward"], reward)
+    np.testing.assert_array_equal(
+        info["prediction"]["loss"], np.zeros(2, np.float32)
+    )
+
+
+def test_restore_digs_through_foreign_wrappers(alias):
+    """A compat AP env behind foreign gym wrappers is restored, not
+    pseudo-wrapped (active_perception_env.py:169-210)."""
+    import apx.compat as apc
+
+    class Noop(gym.Wrapper):
+        pass
+
+    inner = apc.make("LightDark-v0")
+    env = alias.ensure_active_perception_env(Noop(inner))
+    assert isinstance(env, alias.ActivePerceptionRestoreWrapper)
+    assert env.loss_fn is inner.loss_fn
+    assert env.prediction_target_space == inner.prediction_target_space
+    # Restore over SyncVectorEnv of AP singles (vector_env.py:231-237).
+    venv = gym.vector.SyncVectorEnv(
+        [lambda: apc.make("LightDark-v0") for _ in range(2)]
+    )
+    restored = alias.ensure_active_perception_vector_env(venv)
+    assert isinstance(restored, alias.ActivePerceptionVectorRestoreWrapper)
+    assert isinstance(restored.single_action_space, alias.ActivePerceptionActionSpace)
+    assert restored.prediction_target_space.shape == (2, 2)
+
+
+def test_user_subclass_and_register(alias):
+    """User code can subclass the alias's ActivePerceptionEnv and register
+    it: the step template composes reward = base - loss and rebuilds info
+    (active_perception_env.py:90-121, registration.py:87-142)."""
+
+    class MyEnv(alias.ActiveRegressionEnv):
+        def __init__(self):
+            super().__init__(2, gym.spaces.Box(-1, 1, shape=(1,)))
+            self.observation_space = gym.spaces.Box(-1, 1, shape=(1,))
+
+        def reset(self, *, seed=None, options=None):
+            super().reset(seed=seed)
+            self._t = 0
+            return np.zeros(1, np.float32), {}
+
+        def _step(self, action, prediction):
+            self._t += 1
+            target = np.array([0.5, -0.5], np.float32)
+            return (
+                np.zeros(1, np.float32),
+                2.0,
+                self._t >= 3,
+                False,
+                {},
+                target,
+            )
+
+    alias.register(id="MyEnv-v0", entry_point=MyEnv)
+    env = alias.make("MyEnv-v0")
+    env.reset(seed=0)
+    pred = np.array([0.5, -0.5], np.float32)
+    obs, reward, term, trunc, info = env.step(
+        {"action": np.zeros(1, np.float32), "prediction": pred}
+    )
+    # Perfect prediction -> loss 0 -> reward == base_reward.
+    assert reward == pytest.approx(2.0)
+    assert set(info) == {"base_reward", "prediction"}
+    np.testing.assert_array_equal(info["prediction"]["target"], pred)
+    # The auto sparse twin applies SparsifyWrapper (registration.py:115-142).
+    sparse = alias.make("MyEnv-sparse-v0")
+    assert isinstance(sparse, alias.SparsifyWrapper)
+    sparse.reset(seed=0)
+    obs, reward, term, trunc, info = sparse.step(
+        {"action": np.zeros(1, np.float32), "prediction": np.zeros(2, np.float32)}
+    )
+    assert not term and reward == pytest.approx(2.0)  # weight 0 pre-termination
+    assert info["prediction"]["target"]["weight"] == 0.0
+
+
+def test_alias_timelimit_matches_reference_semantics(alias):
+    env = alias.TimeLimit(
+        alias.ensure_active_perception_env(_ToyEnv()),
+        max_episode_steps=2,
+        issue_termination=True,
+    )
+    obs, _ = env.reset(seed=0)
+    # 1-D float Box obs gets the normalized time CONCATENATED
+    # (time_limit.py:85-99); t=0 -> -1.
+    assert obs.shape == (4,) and obs[-1] == -1.0
+    _, _, term, trunc, _ = env.step({"action": np.zeros(2), "prediction": ()})
+    assert not term and not trunc
+    o, _, term, trunc, _ = env.step({"action": np.zeros(2), "prediction": ()})
+    assert term and not trunc and o[-1] == 1.0
+
+
+_EXAMPLES = [
+    "circle_square.py",
+    "circle_square_vec.py",
+    "lidar_loc_rooms.py",
+    "light_dark_vec.py",
+    "tiny_image_net_loc_vec.py",
+]
+
+
+@pytest.mark.parametrize("script", _EXAMPLES)
+def test_reference_example_scripts_run_on_alias(script):
+    """The reference's own example scripts (reference example/*.py) run
+    UNMODIFIED against the alias (matplotlib stubbed to Agg/no-pause, the
+    1000-iteration loops shortened to 8 via a shadowed `range`)."""
+    path = os.path.join(REFERENCE_EXAMPLES, script)
+    if not os.path.exists(path):
+        pytest.skip("reference examples not present")
+    driver = f"""
+import os
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+plt.pause = lambda *a, **k: None
+plt.show = lambda *a, **k: None
+import jax
+jax.config.update("jax_platforms", "cpu")
+import apx.compat.ap_gym_alias  # installs the alias as ap_gym
+src = open({path!r}).read()
+g = {{"__name__": "__main__", "range": lambda n: __builtins__.range(min(n, 8))}}
+exec(compile(src, {path!r}, "exec"), g)
+print("SCRIPT_OK")
+"""
+    env = dict(os.environ)
+    env.update(
+        PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu", MPLBACKEND="Agg",
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", driver],
+        capture_output=True, text=True, timeout=500, env=env,
+    )
+    assert out.returncode == 0 and "SCRIPT_OK" in out.stdout, (
+        script, out.stdout[-2000:], out.stderr[-3000:],
+    )

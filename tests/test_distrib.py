@@ -95,3 +95,54 @@ def test_episode_stats_psum(mesh):
     expect = np.arange(n)[::2].sum() / (n // 2)
     np.testing.assert_allclose(float(out["avg_mse"]), expect, rtol=1e-6)
     assert float(out["episodes"]) == n // 2
+
+
+def test_host_sharded_bank_matches_replicated(mesh):
+    """shard_params(..., shard_leading=True) splits dataset banks over the
+    env axis (for corpora exceeding per-device HBM); the per-episode bank
+    gathers become GSPMD collectives but numerics must be unchanged."""
+    n = 16
+    venv, params = apx.make_vec("LIDARLocRooms-v0", num_envs=n)
+    key = jax.random.PRNGKey(7)
+    obs, state, _ = venv.reset(key, params)
+    act = {"action": jnp.full((n, 2), 0.4), "prediction": jnp.zeros((n, 2))}
+    ref_obs, _, ref_r, *_ = jax.jit(venv.step)(key, state, act, params)
+
+    sharding = EnvSharding(mesh)
+    sp = shard_params(sharding, params, shard_leading=True)
+    # The bank really is split over devices, not replicated.
+    bank_leaf = sp.env.map_bank.maps if hasattr(sp, "env") else None
+    if bank_leaf is None:
+        import jax.tree_util as jtu
+
+        leaves = [x for x in jtu.tree_leaves(sp) if getattr(x, "ndim", 0) == 3]
+        bank_leaf = max(leaves, key=lambda x: x.size)
+    assert len(bank_leaf.sharding.device_set) == 8
+    assert not bank_leaf.sharding.is_fully_replicated
+
+    sstate = shard_env_batch(sharding, state)
+    step = sharded_vector_env_step(venv, sharding)
+    s_obs, _, s_r, *_ = step(key, sstate, act, sp)
+    np.testing.assert_allclose(np.asarray(ref_r), np.asarray(s_r), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ref_obs["lidar"]), np.asarray(s_obs["lidar"]), rtol=1e-6
+    )
+
+    # Reset also works against the sharded bank (map fetch = cross-device
+    # gather) and matches the replicated-bank reset exactly.
+    robs, _, _ = jax.jit(venv.reset)(key, params)
+    sobs, _, _ = jax.jit(venv.reset)(key, sp)
+    np.testing.assert_allclose(
+        np.asarray(robs["lidar"]), np.asarray(sobs["lidar"]), rtol=1e-6
+    )
+
+
+def test_multihost_bench_entry(mesh):
+    """bench.py --multihost path: sharded_rollout over the virtual mesh."""
+    import bench as bench_mod
+
+    venv, params, _ = bench_mod.BENCHES["lidar_rooms"](32)
+    sps, ndev = bench_mod.bench_env_multihost(
+        venv, params, 4, jax.random.key(0), 4
+    )
+    assert ndev == 8 and sps > 0

@@ -320,3 +320,40 @@ def test_native_map_generators():
                     seen[ny, nx] = True
                     q.append((ny, nx))
         assert (seen == free).all()
+
+
+def test_map_bank_kind_dispatch():
+    """Parity-mode map regeneration dispatches on the bank's generator
+    KIND, not its shape: a non-default-sized maze bank still regenerates
+    maze maps, and a custom bank refuses instead of silently guessing
+    (round-1 footgun: shims.py used `(h, w) == (21, 21)` shape sniffing)."""
+    import jax.numpy as jnp
+
+    from apx.data.floor_map import (
+        MapBank,
+        generate_maze_map,
+        make_maze_bank,
+        make_rooms_bank,
+    )
+    from apx.envs.lidar_localization import LIDARLocalizationEnv
+    from apx.compat.shims import LIDARShim
+
+    assert make_maze_bank(num_maps=2).kind == "maze"
+    assert make_rooms_bank(num_maps=2).kind == "rooms"
+
+    # 11x11 maze bank (NOT the default 21x21): must regenerate MAZE maps.
+    bank = make_maze_bank(num_maps=2, width=11, height=11)
+    env = LIDARLocalizationEnv(map_bank=bank)
+    shim = LIDARShim(env, env.default_params(), num_envs=1)
+    occ = shim._generate_map(1234)
+    np.testing.assert_array_equal(occ, generate_maze_map(1234, 11, 11))
+
+    custom = MapBank(
+        maps=jnp.zeros((1, 5, 5), bool),
+        indices=jnp.zeros((1,), jnp.uint32),
+        free_counts=jnp.full((1,), 25, jnp.int32),
+    )
+    env2 = LIDARLocalizationEnv(map_bank=custom)
+    shim2 = LIDARShim(env2, env2.default_params(), num_envs=1)
+    with pytest.raises(ValueError, match="custom"):
+        shim2._generate_map(0)
