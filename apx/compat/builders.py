@@ -92,7 +92,7 @@ def _base_reset_from_draws(base, draws: dict[str, Any], params):
             initial_pos=pos,
             odo_pending=jnp.ones((n,), jnp.bool_),
         )
-        obs = jax.vmap(lambda s: base._observe(s, params))(state)
+        obs = jax.vmap(lambda s: base._observe(s, params, typed=True))(state)
         info = jax.vmap(lambda s: base._info(s, params))(state)
         return obs, state, info
 

@@ -351,7 +351,15 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
             reward, info = self._compose(
                 pred, zeros, falses, falses, info, target, None
             )
-            return _np_tree(obs), reward, falses, falses, info
+            obs_np = _np_tree(obs)
+            from .builders import unwrap_state
+            from .render_hooks import update_tracker_step
+
+            update_tracker_step(
+                self._tracker, self.base, self.params, actions, obs_np, info,
+                state, None, was_reset=True,
+            )
+            return obs_np, reward, falses, falses, info
 
         reset_draws_host = None
         if self.rng == "reference":

@@ -44,6 +44,7 @@ def update_tracker_reset(tracker: RenderTracker, base_env, params, obs0, state0)
         render_size, _, _, _ = _image_geom(params)
         tracker.visitation = np.zeros((render_size[1], render_size[0]), np.int32)
         tracker.quality_map = np.zeros((render_size[1], render_size[0]), np.float32)
+        tracker.last_pos = _first(obs0["glimpse_pos"])
     elif isinstance(base_env, LIDARLocalizationEnv):
         occ = np.asarray(_first(state0.occ))
         tracker.observation_map = np.zeros_like(occ, dtype=bool)
@@ -61,7 +62,8 @@ def _first(x):
 
 
 def update_tracker_step(
-    tracker: RenderTracker, base_env, params, action, obs, info, state, prev_pos
+    tracker: RenderTracker, base_env, params, action, obs, info, state,
+    prev_pos, was_reset: bool = False,
 ):
     pred = np.asarray(action["prediction"])
     if pred.ndim:
@@ -76,14 +78,29 @@ def update_tracker_step(
             target = target["target"]
         target = np.asarray(target)[0] if np.asarray(target).ndim else target
         if isinstance(base_env, ImageClassificationEnv):
+            # Quality vs the PRE-step labels (image_classification.py:113-118,
+            # == the info target even across lockstep resets).
             probs = scipy.special.softmax(pred0)
             quality = float(probs[int(np.asarray(target).flat[0])])
         else:
+            # Localization quality uses the CURRENT (possibly freshly
+            # resampled) target, not the info target
+            # (image_localization.py:152-159) — read it from the state.
+            from .builders import unwrap_state
+
+            cur_target = np.asarray(unwrap_state(state).target)[0]
             quality = float(
-                1 - np.linalg.norm(pred0 - np.asarray(target)) / np.sqrt(4)
+                1 - np.linalg.norm(pred0 - cur_target) / np.sqrt(4)
             )
             tracker.last_pred = pred0
-        _update_visitation(tracker, params, pos, quality)
+        # The reference stamps the overlay at the PRE-step glimpse position
+        # with the current prediction quality (module.py:196, :219-234),
+        # then (on the lockstep reset step) clears it (:184-186).
+        if tracker.last_pos is not None:
+            _update_visitation(tracker, params, tracker.last_pos, quality)
+        if was_reset and tracker.visitation is not None:
+            tracker.visitation.fill(0)
+            tracker.quality_map.fill(0)
         tracker.trajectory.append((pos.copy(), quality))
         tracker.last_pos = pos
     elif isinstance(base_env, LightDarkEnv):
@@ -116,26 +133,57 @@ def update_tracker_step(
 
 
 def _update_visitation(tracker, params, pos_norm, quality):
+    """Mirrors __update_visitation_overlay (module.py:219-234): rounded
+    center +/- rounded size with edge-clipped coordinates (numpy fancy
+    indexing buffers duplicate clipped indices, exactly like the
+    reference's += on clipped coords)."""
     if tracker.visitation is None:
         return
     render_size, scaling, eff, lim = _image_geom(params)
     c = _to_render_coords(np.asarray(pos_norm), render_size, scaling, lim)
-    half = eff * scaling / 2
-    x0, y0 = np.clip((c - half).astype(int), 0, None)
-    x1 = min(int(c[0] + half[0]), render_size[0])
-    y1 = min(int(c[1] + half[1]), render_size[1])
-    tracker.visitation[y0:y1, x0:x1] += 1
-    tracker.quality_map[y0:y1, x0:x1] = quality
+    pos = np.round(c).astype(np.int32)  # (x, y)
+    size = np.round(np.flip(eff * scaling)).astype(np.int32)
+    x_range = pos[0] + np.arange(size[0]) - size[0] // 2
+    y_range = pos[1] + np.arange(size[1]) - size[1] // 2
+    ys = np.clip(y_range, 0, tracker.visitation.shape[0] - 1)
+    xs = np.clip(x_range, 0, tracker.visitation.shape[1] - 1)
+    tracker.visitation[ys[:, None], xs[None, :]] += 1
+    tracker.quality_map[ys[:, None], xs[None, :]] = np.clip(quality, 0, 1)
 
 
 def _update_lidar_fog(tracker, occ, pos, distances, params):
-    """Mark observed cells: scan points within each beam's measured range
-    (the reference's 'good enough' approximation, :249-261)."""
+    """Mark observed cells like __get_obs (lidar_localization2d.py:244-261):
+    (a) each hitting beam's CONTACT cell — reconstructed from the entry
+    point (distance + the 1e-3 eps pullback) with the boundary-coordinate
+    adjustment of :529-535, so the WALL cell itself defogs; (b) scan points
+    along each beam within its measured range (the reference's 'good
+    enough' free-space approximation)."""
+    distances = np.asarray(distances)
     ang = np.linspace(-np.pi, np.pi, params.lidar_beam_count, endpoint=False)
     dirs = np.stack([np.cos(ang), np.sin(ang)], axis=-1)
+
+    # (a) contact cells. A beam hit iff its distance is short of the full
+    # segment length (computed in f32 exactly like the device raycast).
+    seg = np.linalg.norm(
+        (params.lidar_range * dirs).astype(np.float32), axis=-1
+    )
+    hit = distances < seg
+    entry = pos[None, :] + dirs * (distances + 1e-3)[:, None]
+    coords = np.floor(entry)
+    exact = np.abs(coords - entry) < 1e-5
+    target = pos[None, :] + dirs * params.lidar_range
+    coords = np.where(exact & (target < pos[None, :]), coords - 1, coords)
+    coords = coords[hit].astype(int)
+    ok = (coords >= 0).all(axis=-1) & (
+        coords < np.array([occ.shape[1], occ.shape[0]])
+    ).all(axis=-1)
+    sel = coords[ok]
+    tracker.observation_map[sel[:, 1], sel[:, 0]] = True
+
+    # (b) free-space scan points.
     ts = np.arange(0, params.lidar_range, 0.05)
     pts = pos[None, None, :] + ts[None, :, None] * dirs[:, None, :]
-    within = ts[None, :] <= np.asarray(distances)[:, None]
+    within = ts[None, :] <= distances[:, None]
     cells = np.floor(pts).astype(int)
     ok = (
         within

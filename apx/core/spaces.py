@@ -86,10 +86,32 @@ class Box(Space):
         return np.broadcast_to(np.asarray(self.high, dtype=self.dtype), self.shape)
 
     def sample(self, key: jax.Array):
-        low = np.where(np.isfinite(self.low_arr), self.low_arr, -1e3)
-        high = np.where(np.isfinite(self.high_arr), self.high_arr, 1e3)
-        return jax.random.uniform(
-            key, self.shape, minval=low, maxval=high, dtype=jnp.dtype(self.dtype)
+        """Gymnasium's sampling convention per element: uniform on bounded
+        intervals, standard normal on unbounded ones, exponential tails on
+        half-bounded ones (gymnasium.spaces.Box.sample)."""
+        low = self.low_arr.astype(np.float32)
+        high = self.high_arr.astype(np.float32)
+        lo_fin = np.isfinite(low)
+        hi_fin = np.isfinite(high)
+        ku, kn, ke1, ke2 = jax.random.split(key, 4)
+        dt = jnp.dtype(self.dtype)
+        uni = jax.random.uniform(
+            ku, self.shape,
+            minval=np.where(lo_fin, low, 0.0),
+            maxval=np.where(hi_fin, high, 1.0),
+            dtype=dt,
+        )
+        normal = jax.random.normal(kn, self.shape, dtype=dt)
+        upper = jax.random.exponential(ke1, self.shape, dtype=dt) + jnp.asarray(
+            np.where(lo_fin, low, 0.0)
+        )
+        lower = -jax.random.exponential(ke2, self.shape, dtype=dt) + jnp.asarray(
+            np.where(hi_fin, high, 0.0)
+        )
+        both = np.asarray(lo_fin & hi_fin)
+        return jnp.where(
+            both, uni,
+            jnp.where(~lo_fin & ~hi_fin, normal, jnp.where(lo_fin, upper, lower)),
         )
 
     def zeros(self):

@@ -44,6 +44,7 @@ from ..core.losses import LossFn
 from ..core.spaces import Box, DictSpace, Image, Space
 from ..data.floor_map import MapBank
 from ..ops.raycast import (
+    extract_window_mxu,
     lidar_directions,
     pad_occupancy,
     raycast_grid,
@@ -60,12 +61,17 @@ class LIDARLocalizationParams(struct.PyTreeNode):
     static_map_pos: int = struct.field(pytree_node=False, default=0)
     lidar_beam_count: int = struct.field(pytree_node=False, default=8)
     lidar_range: float = struct.field(pytree_node=False, default=5.0)
-    # Raycast backend: "xla" (dense separable slab, fused VPU reduce — the
-    # TPU default), "windowed" / "hybrid" (less arithmetic but per-env
-    # dynamic_slice gathers; measured 8-20x slower on TPU, faster on CPU),
-    # or "pallas" (hand-scheduled VMEM kernel, bitwise-identical results).
-    # Every alternative was benchmarked end-to-end (see PERF.md); gathers
-    # simply do not pay on this hardware.
+    # Raycast backend (all same-session A/B'd on v5e, PERF.md round-2 study):
+    #   "xla" (default): dense separable slab over the full map, fused into
+    #     a VPU min-reduce — measured at ~88% of the VPU roofline; every
+    #     work-cutting alternative below measured slower end-to-end.
+    #   "mxu_window": one 16x16 occupancy window per step via one-hot
+    #     matmuls (6.25M vs 7.23M: tiny batched matmuls use <5% of an MXU
+    #     tile each). Results match dense to 1 ulp; kept selectable and
+    #     equivalence-tested.
+    #   "windowed"/"hybrid": dynamic_slice windows — 8-20x slower on TPU
+    #     (per-env gathers don't tile), faster on CPU.
+    #   "pallas": hand-scheduled VMEM kernel (dense math; loses XLA fusion).
     raycast_backend: str = struct.field(pytree_node=False, default="xla")
 
     @property
@@ -76,7 +82,18 @@ class LIDARLocalizationParams(struct.PyTreeNode):
     def ray_pad(self) -> int:
         import math
 
-        return int(math.ceil(self.lidar_range)) + 1
+        # mxu_window needs pad >= win//2 so window indices stay in range.
+        return max(int(math.ceil(self.lidar_range)) + 1, self.win_size // 2)
+
+    @property
+    def win_size(self) -> int:
+        return 16
+
+    @property
+    def use_mxu_window(self) -> bool:
+        return self.raycast_backend == "mxu_window" and self.lidar_range <= (
+            self.win_size // 2 - 2
+        )
 
 
 class LIDARLocalizationState(struct.PyTreeNode):
@@ -139,25 +156,53 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         h, w = params.map_bank.map_hw
         return jnp.array([w, h], dtype=jnp.float32)
 
-    def _raycast(self, state, origin, targets, params, radius):
+    def _make_window(self, state, params):
+        """One (win, win) occupancy window + base for all of a step's scans
+        (beams of range <= 6 from any point within 1.0 of state.pos fit)."""
+        if not params.use_mxu_window:
+            return None
+        return extract_window_mxu(
+            state.occ_padded, params.ray_pad, state.pos, win=params.win_size
+        )
+
+    def _raycast(self, state, origin, targets, params, radius, typed=False,
+                 window=None):
+        if window is not None:
+            win_occ, base = window
+            return raycast_grid(
+                win_occ, origin - base, targets - base, geos_typing=typed
+            )
+        # typed=True enables the GEOS result-typing classification (corner
+        # grazes); used for reset scans, where the agent sits at an exact
+        # cell center and diagonal beams systematically graze lattice
+        # corners. Step-time scans start from generic f32 positions, where
+        # a graze is measure-zero and the fast path is bitwise identical
+        # (see raycast_grid's docstring).
         if params.raycast_backend == "windowed" or (
             params.raycast_backend == "hybrid" and radius <= 2
         ):
             # hybrid: the short movement rays (length <= 1) touch at most a
             # 6x6 window; only the long lidar beams go dense.
             return raycast_grid_windowed(
-                state.occ_padded, params.ray_pad, origin, targets, radius
+                state.occ_padded, params.ray_pad, origin, targets, radius,
+                geos_typing=typed,
             )
         if params.raycast_backend == "pallas":
             from ..ops.raycast_pallas import raycast_grid_pallas
 
             return raycast_grid_pallas(state.occ, origin, targets), None
-        return raycast_grid(state.occ, origin, targets)
+        return raycast_grid(state.occ, origin, targets, geos_typing=typed)
 
-    def _observe(self, state: LIDARLocalizationState, params) -> dict[str, jax.Array]:
+    def _observe(
+        self, state: LIDARLocalizationState, params, typed: bool = False,
+        window=None,
+    ) -> dict[str, jax.Array]:
+        if window is None:
+            window = self._make_window(state, params)
         dirs = lidar_directions(params.lidar_beam_count) * params.lidar_range
         dist, _ = self._raycast(
-            state, state.pos, state.pos + dirs, params, params.ray_pad
+            state, state.pos, state.pos + dirs, params, params.ray_pad,
+            typed=typed, window=window,
         )
         obs = {
             "lidar": jnp.clip(dist / params.lidar_range, -1.0, 1.0),
@@ -203,7 +248,7 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
             initial_pos=pos,
             odo_pending=jnp.ones((), dtype=jnp.bool_),
         )
-        return self._observe(state, params), state, self._info(state, params)
+        return self._observe(state, params, typed=True), state, self._info(state, params)
 
     def step_env(self, key, state, action, prediction, params) -> APStepResult:
         last_pos = state.pos
@@ -215,9 +260,17 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         safe_total = jnp.where(total == 0.0, 1.0, total)
         direction = a / safe_total
 
+        # One shared occupancy window per step (see _make_window); the
+        # post-movement position stays within 1.0 of state.pos, so the
+        # final observation scan reuses it too.
+        window = self._make_window(state, params)
+
         # First leg: move up to the nearest wall (:336-343). Movement
         # segments have length <= 1, so radius 2 windows suffice.
-        d2w, _ = self._raycast(state, state.pos, (state.pos + a)[None, :], params, 2)
+        d2w, _ = self._raycast(
+            state, state.pos, (state.pos + a)[None, :], params, 2,
+            window=window,
+        )
         d2w = d2w[0]
         pos1 = state.pos + direction * d2w
 
@@ -233,7 +286,9 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         v_single = jnp.max(jnp.where(keep, rem_vec, 0.0))
         cand_diag = jnp.where(n_keep == 2, rem_vec, jnp.full((2,), v_single))
         cand = jnp.eye(2, dtype=jnp.float32) * cand_diag  # (2, 2) candidate moves
-        cand_dist, _ = self._raycast(state, pos1, pos1 + cand, params, 2)
+        cand_dist, _ = self._raycast(
+            state, pos1, pos1 + cand, params, 2, window=window
+        )
         idx = jnp.where(cand_dist[0] > 0.0, 0, 1)
         slide = (
             cand[idx] / jnp.where(cand_diag[idx] == 0.0, 1.0, cand_diag[idx])
@@ -256,7 +311,7 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         )
         target = (last_pos / size * 2.0 - 1.0).astype(jnp.float32)
         return APStepResult(
-            obs=self._observe(new_state, params),
+            obs=self._observe(new_state, params, window=window),
             state=new_state,
             base_reward=base_reward.astype(jnp.float32),
             terminated=terminated,

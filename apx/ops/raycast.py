@@ -78,6 +78,7 @@ def raycast_grid(
     origin: jnp.ndarray,
     targets: jnp.ndarray,
     eps: float = _EPS,
+    geos_typing: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Cast segments origin -> targets[r] against wall cells of ``occ``.
 
@@ -90,6 +91,15 @@ def raycast_grid(
       distances: (R,) f32 per the semantics above.
       hit_t: (R,) f32 — hit parameter in [0, 1], or +inf on miss (used by
         callers needing contact points; distance already encodes the miss).
+
+    ``geos_typing=False`` skips the graze classification and reports the
+    plain nearest crossing. Whenever NO zero-width graze exists the two
+    modes are bitwise identical, and grazes occur systematically only for
+    scans cast from exact cell centers (the reset scan): after the first
+    movement, positions are generic f32 values and an exact corner hit has
+    ~2^-24 probability per corner crossing. The envs therefore use the
+    typed mode for reset scans and the fast mode on the hot per-step path
+    (~2.4x cheaper end-to-end on v5e; measured in PERF.md).
     """
     h, w = occ.shape
     occb = occ.astype(jnp.bool_)
@@ -98,57 +108,54 @@ def raycast_grid(
     d = targets.astype(jnp.float32) - o  # (R, 2)
     seg_len = jnp.linalg.norm(d, axis=-1)  # (R,)
 
-    # 4-neighbour occupancy (False outside the grid) for the isolated-graze
-    # test; tiny (H, W) bool maps, shifted once per call.
-    pad = jnp.pad(occb, 1, constant_values=False)
-    occ_xm = pad[1:-1, :-2]  # cell (x-1, y)
-    occ_xp = pad[1:-1, 2:]   # cell (x+1, y)
-    occ_ym = pad[:-2, 1:-1]  # cell (x, y-1)
-    occ_yp = pad[2:, 1:-1]   # cell (x, y+1)
+    if geos_typing:
+        # 4-neighbour occupancy (False outside the grid) for the
+        # isolated-graze test; tiny (H, W) bool maps, shifted once per call.
+        pad = jnp.pad(occb, 1, constant_values=False)
+        occ_xm = pad[1:-1, :-2]  # cell (x-1, y)
+        occ_xp = pad[1:-1, 2:]   # cell (x+1, y)
+        occ_ym = pad[:-2, 1:-1]  # cell (x, y-1)
+        occ_yp = pad[2:, 1:-1]   # cell (x, y+1)
 
-    # Per-ray axis signs select which neighbours flank a grazed corner.
-    sx_pos = d[:, 0] >= 0.0  # (R,)
-    sy_pos = d[:, 1] >= 0.0
+        # Per-ray axis signs select which neighbours flank a grazed corner.
+        sx_pos = d[:, 0] >= 0.0  # (R,)
+        sy_pos = d[:, 1] >= 0.0
 
     # The slab test is separable: per-ray interval endpoints depend only on
     # the cell's column (x axis) or row (y axis), so the multiply/divide
-    # work is O(R*(H+W)) and the (R, H, W) combination is pure
-    # min/max/compare fused into the reduces — with bit-identical results.
-    # Measured on v5e: the 3-D form wins for W >= 32 (+20% end-to-end on
-    # rooms maps) but loses on narrow maps (W=21 maze) where lane padding
-    # of the last axis dominates; those use the flat per-cell form.
-    if w >= 32:
-        col = jnp.arange(w, dtype=jnp.float32)
-        row = jnp.arange(h, dtype=jnp.float32)
-        nx1, fx1 = _slab_axis(o[0], d[:, 0:1], col[None, :], col[None, :] + 1.0)
-        ny1, fy1 = _slab_axis(o[1], d[:, 1:2], row[None, :], row[None, :] + 1.0)
-        nx, fx = nx1[:, None, :], fx1[:, None, :]  # (R, 1, W)
-        ny, fy = ny1[:, :, None], fy1[:, :, None]  # (R, H, 1)
-        occ_r = occb[None]
+    # work is O(R*(H+W)); the per-cell combination is pure
+    # min/max/compare. The combination runs on a FLAT (R, H*W) lattice
+    # (built by tiling/repeating the per-axis arrays — cheap relayouts):
+    # the minor-most dim of the (R, H, W) form is only 21-32 wide, wasting
+    # 3/4 of the 128-wide VPU lanes, while H*W packs them fully.
+    col = jnp.arange(w, dtype=jnp.float32)
+    row = jnp.arange(h, dtype=jnp.float32)
+    nx1, fx1 = _slab_axis(o[0], d[:, 0:1], col[None, :], col[None, :] + 1.0)
+    ny1, fy1 = _slab_axis(o[1], d[:, 1:2], row[None, :], row[None, :] + 1.0)
+    nx = jnp.tile(nx1, (1, h))  # (R, H*W): cell (cy, cx) -> index cy*W + cx
+    fx = jnp.tile(fx1, (1, h))
+    ny = jnp.repeat(ny1, w, axis=-1)
+    fy = jnp.repeat(fy1, w, axis=-1)
+    occ_r = occb.reshape(-1)[None]
 
-        def bcast(m):  # (H, W) -> (1, H, W)
-            return m[None]
+    def bcast(m):  # (H, W) -> (1, H*W)
+        return m.reshape(-1)[None]
 
-        sgn = (slice(None), None, None)  # ray scalars -> (R, 1, 1)
-        axes = (-2, -1)
-    else:
-        occf = occb.reshape(-1)
-        cyi, cxi = jnp.divmod(jnp.arange(h * w, dtype=jnp.int32), w)
-        cx = cxi.astype(jnp.float32)
-        cy = cyi.astype(jnp.float32)
-        nx, fx = _slab_axis(o[0], d[:, 0:1], cx[None, :], cx[None, :] + 1.0)
-        ny, fy = _slab_axis(o[1], d[:, 1:2], cy[None, :], cy[None, :] + 1.0)
-        occ_r = occf[None, :]
-
-        def bcast(m):  # (H, W) -> (1, H*W)
-            return m.reshape(-1)[None]
-
-        sgn = (slice(None), None)
-        axes = (-1,)
+    sgn = (slice(None), None)
+    axes = (-1,)
 
     a = jnp.maximum(jnp.maximum(nx, ny), 0.0)  # clipped entry
     b = jnp.minimum(jnp.minimum(fx, fy), 1.0)  # clipped exit
     valid = occ_r & (a <= b)
+
+    if not geos_typing:
+        t_hit = jnp.min(jnp.where(valid, a, jnp.inf), axis=axes)  # (R,)
+        hit = jnp.isfinite(t_hit)
+        dist = jnp.where(
+            hit, jnp.maximum(t_hit * seg_len - eps, 0.0), seg_len
+        ).astype(jnp.float32)
+        return dist, t_hit
+
     nd = valid & (a < b)  # real crossing interval
     dg = valid & (a == b)  # zero-width graze
 
@@ -203,6 +210,7 @@ def raycast_grid_windowed(
     targets: jnp.ndarray,
     radius: int,
     eps: float = _EPS,
+    geos_typing: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Windowed variant of raycast_grid: only the (2*radius+2)^2 cells
     around the origin's cell are slab-tested — valid whenever every
@@ -222,7 +230,7 @@ def raycast_grid_windowed(
     # Shift into window-local coordinates (translation invariance).
     o_local = o - base
     t_local = targets.astype(jnp.float32) - base
-    return raycast_grid(window, o_local, t_local, eps=eps)
+    return raycast_grid(window, o_local, t_local, eps=eps, geos_typing=geos_typing)
 
 
 def contact_cells(
@@ -245,3 +253,42 @@ def contact_cells(
     coords = jnp.where(exact & (targets < o), coords - 1.0, coords)
     miss = distances[:, None] >= seg_len
     return jnp.where(miss, -1, coords.astype(jnp.int32))
+
+
+def extract_window_mxu(
+    occ_padded: jnp.ndarray, pad: int, origin: jnp.ndarray, win: int = 16
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(win, win) bool occupancy window around ``origin`` via one-hot
+    matmuls — the TPU-idiomatic gather replacement.
+
+    Per-env dynamic_slice windows measured 8-20x slower than dense on TPU
+    (round-1 PERF.md: per-env gathers don't tile). One-hot row/column
+    selection matrices contracted on the MXU tile perfectly and cost <1%
+    of MXU peak at N=4096, leaving the VPU to do 4x less slab work
+    (win^2=256 cells vs the full 1024-cell map).
+
+    The returned ``base`` (window top-left in unpadded map coordinates) is
+    an integer-valued float; translating ray origins/targets by it is
+    EXACT in f32 at these magnitudes, so windowed slab results match the
+    dense form's to within 1 ulp (the only residual difference is XLA
+    choosing different FMA contractions for the two lattice layouts).
+
+    Requires pad >= win//2 and covers every scan whose per-axis extent
+    from ``origin`` is <= win//2 - 2 (beams of range 5 from a point up to
+    1.0 away from ``origin`` fit in win=16).
+    """
+    hp, wp = occ_padded.shape
+    o = origin.astype(jnp.float32)
+    base = jnp.floor(o) - (win // 2 - 1)  # (2,) float (x, y), integer-valued
+    start = (base + pad).astype(jnp.int32)  # top-left in padded coords
+    i = jnp.arange(win, dtype=jnp.int32)
+    rsel = (i[:, None] + start[1]) == jnp.arange(hp, dtype=jnp.int32)[None, :]
+    csel = (i[:, None] + start[0]) == jnp.arange(wp, dtype=jnp.int32)[None, :]
+    w = jnp.einsum(
+        "rh,hw,cw->rc",
+        rsel.astype(jnp.bfloat16),
+        occ_padded.astype(jnp.bfloat16),
+        csel.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return w > 0.5, base

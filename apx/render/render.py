@@ -36,7 +36,9 @@ __all__ = [
     "render_env",
 ]
 
-GLIMPSE_BORDER_WIDTH = 2
+def _glimpse_border_width(render_size) -> int:
+    """max(1, round(W/128)) like the reference (module.py:463-465)."""
+    return max(1, int(round(1 / 128 * render_size[0])))
 
 
 @dataclasses.dataclass
@@ -114,29 +116,43 @@ def render_image_perception(
     )
 
     if tracker is not None and tracker.visitation is not None:
+        # Overlay composited exactly like the reference (module.py:348-385):
+        # the RGBA overlay is quantized to uint8 FIRST (alpha uses a
+        # truncating int() cast), then manually alpha-blended with a
+        # truncating cast.
         visited = tracker.visitation > 0
-        alpha = np.where(visited, visited_opacity, unvisited_opacity)[..., None]
         q = tracker.quality_map
         color = np.stack(
             [np.array(quality_color(v), dtype=np.float64) for v in q.reshape(-1)]
         ).reshape(*q.shape, 3)
+        ol = np.concatenate(
+            [
+                visited[..., None] * color,
+                np.where(
+                    visited, int(255 * visited_opacity),
+                    int(255 * unvisited_opacity),
+                )[..., None],
+            ],
+            axis=-1,
+        ).round().astype(np.uint8)
+        alpha = ol[..., -1:] / 255
         arr = np.asarray(base, dtype=np.float64)
-        arr = arr * (1 - alpha) + alpha * color
-        base = _to_pil(arr.round().astype(np.uint8))
+        base = _to_pil((arr * (1 - alpha) + alpha * ol[..., :-1]).astype(np.uint8))
 
     draw = PIL.ImageDraw.Draw(base, "RGBA")
     half = eff * scaling / 2
+    bw = _glimpse_border_width(render_size)
 
     def box(center_norm, outline, shadow=False):
         c = _to_render_coords(np.asarray(center_norm), render_size, scaling, lim)
         coords = np.concatenate([c - half, c + half])
         if shadow:
             draw.rectangle(
-                tuple(coords + GLIMPSE_BORDER_WIDTH),
+                tuple(coords + bw),
                 outline=(0, 0, 0, 80),
-                width=GLIMPSE_BORDER_WIDTH,
+                width=bw,
             )
-        draw.rectangle(tuple(coords), outline=outline, width=GLIMPSE_BORDER_WIDTH)
+        draw.rectangle(tuple(coords), outline=outline, width=bw)
 
     if target_norm is not None:
         box(target_norm, COLOR_PRED + (100,))
@@ -162,7 +178,8 @@ def render_light_dark(
     gx, gy = np.meshgrid(xs, xs)
     grid = np.stack([gx, gy], axis=-1)
     b = np.asarray(brightness(jnp.asarray(grid), params))
-    img = _to_pil((np.clip(b, 0, 1) * 255).astype(np.uint8)).convert("RGB")
+    # 0.9 scale + 0.1 ambient light, truncating uint8 cast (light_dark.py:77-81).
+    img = _to_pil(((b * 0.9 + 0.1) * 255).astype(np.uint8)).convert("RGB")
     draw = PIL.ImageDraw.Draw(img, "RGBA")
     size = np.array(img.size)
     dot = 0.01 * img.size[0]

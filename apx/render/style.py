@@ -13,8 +13,9 @@ COLOR_BAD = (200, 0, 0)
 
 
 def quality_color(quality) -> tuple[int, int, int]:
-    """Red -> green lerp by prediction quality (style.py:13-19)."""
+    """Red -> green lerp by prediction quality (style.py:13-19). The cast
+    TRUNCATES like the reference's astype(np.int_)."""
     q = float(np.clip(quality, 0, 1))
     return tuple(
-        int(round(q * g + (1 - q) * b)) for g, b in zip(COLOR_GOOD, COLOR_BAD)
+        int(q * g + (1 - q) * b) for g, b in zip(COLOR_GOOD, COLOR_BAD)
     )

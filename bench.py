@@ -35,7 +35,14 @@ def bench_env(venv, params, num_steps: int, key) -> float:
             ka, (n, *act_space.shape), minval=-1.0, maxval=1.0, dtype=jnp.float32
         )
         pred = jax.random.normal(kp, (n, *pred_space.shape), dtype=jnp.float32)
-        return {"action": act, "prediction": pred}
+        # Fold a (negligible) observation-dependent term into the action so
+        # the observation computation is provably LIVE — XLA must not be
+        # able to dead-code the obs path out of the timed loop.
+        probe = sum(
+            jnp.mean(leaf.astype(jnp.float32))
+            for leaf in jax.tree_util.tree_leaves(obs)
+        ) * 1e-12
+        return {"action": jnp.clip(act + probe, -1.0, 1.0), "prediction": pred}
 
     @jax.jit
     def run(key, state0, obs0):

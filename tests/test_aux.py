@@ -135,11 +135,52 @@ def test_pseudo_active_perception_env():
 
 
 def test_mk_env_doc(tmp_path):
-    from apx.tools.mk_env_doc import make_env_page
+    """Generates the reference's doc-set structure: family base pages with
+    Properties/space/Rewards/Episode End sections + per-family ID pages
+    with Variants tables (reference tools/mk_env_doc.py:290-628)."""
+    from apx.tools.mk_env_doc import generate
 
-    page = make_env_page("CircleSquare-s15-v0")
-    assert "# CircleSquare-s15-v0" in page
-    assert "Logits(2)" in page
+    written = generate(str(tmp_path))
+    # Same base/family factoring as /root/reference/doc.
+    for fname in (
+        "ImageClassificationVectorEnv.md",
+        "ImageLocalizationVectorEnv.md",
+        "LIDARLocalization2DEnv.md",
+        "ImagePerceptionConfig.md",
+        "CircleSquare.md",
+        "MNIST.md",
+        "CIFAR10.md",
+        "TinyImageNet.md",
+        "MNISTLoc.md",
+        "CIFAR10Loc.md",
+        "TinyImageNetLoc.md",
+        "LightDark.md",
+        "LIDARLocMaze.md",
+        "LIDARLocRooms.md",
+        "LIDARLocMazeStatic.md",
+        "LIDARLocRoomsStatic.md",
+    ):
+        assert fname in written, fname
+    lidar = (tmp_path / "LIDARLocalization2DEnv.md").read_text()
+    # Section-for-section vs the reference page, with introspected spaces.
+    for section in (
+        "## Properties",
+        "## Action Space",
+        "## Prediction Space",
+        "## Prediction Target Space",
+        "## Observation Space",
+        "## Rewards",
+        "## Starting State",
+        "## Episode End",
+        "## Arguments",
+        "## Overview of Implemented Environments",
+    ):
+        assert section in lidar, section
+    assert "Box(-1.0, 1.0, (2,), float32)" in lidar  # introspected, not typed
+    assert "0.1 - 1e-3 * sum(action^2)" in lidar  # exact reward equation
+    assert "-sparse-v0" in lidar  # sparse twin documented
+    cs = (tmp_path / "CircleSquare.md").read_text()
+    assert "## Variants" in cs and "CircleSquareHideAndSeek-v0" in cs
 
 
 def test_create_env_vid(tmp_path):

@@ -157,3 +157,28 @@ def test_time_limit_box_obs_concat():
     for t in range(4):
         obs, state, r, te, tr, _ = env.step(jax.random.PRNGKey(0), state, act, params)
     assert bool(te) and float(obs[-1]) == 1.0
+
+
+def test_box_sample_gymnasium_conventions():
+    """Box.sample follows gymnasium's per-element convention: uniform on
+    bounded intervals, standard normal on unbounded, exponential tails on
+    half-bounded (round-1 divergence: +-1e3 substitution; now matched)."""
+    import numpy as np
+    import jax
+
+    from apx.core.spaces import Box
+
+    s = np.asarray(Box(low=-1.0, high=1.0, shape=(64,)).sample(jax.random.PRNGKey(0)))
+    assert ((s >= -1) & (s <= 1)).all()
+    s2 = np.asarray(
+        Box(low=-np.inf, high=np.inf, shape=(2000,)).sample(jax.random.PRNGKey(1))
+    )
+    assert abs(s2.mean()) < 0.2 and 0.8 < s2.std() < 1.2
+    s3 = np.asarray(
+        Box(low=0.0, high=np.inf, shape=(2000,)).sample(jax.random.PRNGKey(2))
+    )
+    assert (s3 >= 0).all() and 0.8 < s3.mean() < 1.2
+    s4 = np.asarray(
+        Box(low=-np.inf, high=2.0, shape=(2000,)).sample(jax.random.PRNGKey(3))
+    )
+    assert (s4 <= 2).all() and 0.8 < (2 - s4).mean() < 1.2

@@ -357,3 +357,43 @@ def test_map_bank_kind_dispatch():
     shim2 = LIDARShim(env2, env2.default_params(), num_envs=1)
     with pytest.raises(ValueError, match="custom"):
         shim2._generate_map(0)
+
+
+def test_mxu_window_matches_dense():
+    """The MXU one-hot-window raycast backend (default) matches the dense
+    slab backend to float rounding across random trajectories (integer
+    window translation is exact in f32; residual 1-ulp differences come
+    from XLA's layout-dependent FMA contraction)."""
+    import jax
+    import jax.numpy as jnp
+
+    import apx
+
+    venv, p_mxu = apx.make_vec(
+        "LIDARLocMaze-v0", num_envs=16, raycast_backend="mxu_window"
+    )
+    _, p_dense = apx.make_vec("LIDARLocMaze-v0", num_envs=16)
+    assert p_mxu.use_mxu_window and not p_dense.use_mxu_window
+    key = jax.random.PRNGKey(0)
+    o1, s1, _ = venv.reset(key, p_mxu)
+    o2, s2, _ = venv.reset(key, p_dense)
+    np.testing.assert_array_equal(np.asarray(o1["lidar"]), np.asarray(o2["lidar"]))
+    step = jax.jit(venv.step)
+    # Horizon kept short of chaos: 1-ulp FMA differences eventually flip a
+    # discrete wall-slide branch and trajectories separate (~step 35 here).
+    for t in range(25):
+        k = jax.random.fold_in(key, t)
+        act = {
+            "action": jax.random.uniform(k, (16, 2), minval=-1, maxval=1),
+            "prediction": jnp.zeros((16, 2)),
+        }
+        o1, s1, r1, te1, *_ = step(k, s1, act, p_mxu)
+        o2, s2, r2, te2, *_ = step(k, s2, act, p_dense)
+        np.testing.assert_allclose(
+            np.asarray(o1["lidar"]), np.asarray(o2["lidar"]), atol=3e-7,
+            err_msg=f"step {t}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1.inner.inner.pos), np.asarray(s2.inner.inner.pos), atol=3e-6
+        )
+        np.testing.assert_array_equal(np.asarray(te1), np.asarray(te2))

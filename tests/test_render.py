@@ -63,3 +63,77 @@ def test_lidar_fog_of_war_grows():
         )
     assert t.observation_map.sum() >= seen0
     assert t.observation_map.any()
+
+
+# ---------------------------------------------------------------------------
+# Golden-frame parity: the reference's render() runs in-container for the
+# image envs, LightDark and (through the shapely shim) LIDAR, so compat
+# frames are diffed against actual reference frames — not just shape-checked.
+
+
+def _frame_diff(ref_env, mine_env, seed, steps, rng_seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(rng_seed)
+    ref_env.reset(seed=seed)
+    mine_env.reset(seed=seed)
+    pred_shape = ref_env.prediction_space.shape
+    frames = []
+    rf = np.asarray(ref_env.render()).astype(np.int32)
+    mf = np.asarray(mine_env.render()).astype(np.int32)
+    frames.append((rf, mf))
+    for _ in range(steps):
+        a = {
+            "action": rng.uniform(-1, 1, 2).astype(np.float32),
+            "prediction": rng.normal(size=pred_shape).astype(np.float32),
+        }
+        ref_env.step(a)
+        mine_env.step(a)
+        frames.append(
+            (
+                np.asarray(ref_env.render()).astype(np.int32),
+                np.asarray(mine_env.render()).astype(np.int32),
+            )
+        )
+    return frames
+
+
+@pytest.mark.parametrize(
+    "env_id,steps,reset_exact,frac_tol",
+    [
+        # CircleSquare: bit-exact through 20 steps incl. a lockstep reset
+        # (overlay compositing, border widths and visitation semantics all
+        # mirror the reference's integer math).
+        ("CircleSquare-v0", 20, True, 0.0),
+        ("CircleSquare-s15-v0", 17, True, 0.0),
+        # LightDark: the brightness field is computed in f32 on device vs
+        # the reference's f64 (+-1 quantization on a handful of pixels),
+        # and marker-edge pixels may flip vs the reference's f64 positions.
+        ("LightDark-v0", 10, False, 0.001),
+        # LIDAR: reset frames are exact; after movement the reference keeps
+        # f64 positions (np.linalg.norm promotions) while apx is f32, so
+        # PIL line rasterization can flip boundary pixels on beam/trail
+        # slivers (<0.5% of pixels).
+        ("LIDARLocRooms-v0", 8, True, 0.005),
+        ("LIDARLocMaze-v0", 8, True, 0.005),
+    ],
+)
+def test_render_golden_frames(env_id, steps, reset_exact, frac_tol):
+    import numpy as np
+
+    from conftest import load_reference_ap_gym
+
+    ap = load_reference_ap_gym()
+    if ap is None:
+        pytest.skip("reference not importable")
+    import apx.compat as apc
+
+    frames = _frame_diff(ap.make(env_id), apc.make(env_id), seed=3, steps=steps)
+    rf0, mf0 = frames[0]
+    assert rf0.shape == mf0.shape
+    if reset_exact:
+        np.testing.assert_array_equal(rf0, mf0, err_msg=f"{env_id} reset frame")
+    for t, (rf, mf) in enumerate(frames[1:]):
+        d = np.abs(rf - mf)
+        frac = float((d > 8).mean())
+        assert frac <= frac_tol, (env_id, t, frac, int(d.max()))
