@@ -406,6 +406,95 @@ def test_lidar_parity_oob_termination(ref_ap):
     assert n_terms >= 4  # the march actually exercises the OOB branch
 
 
+# ---------------------------------------------------------------------------
+# HF-backed env ids: golden parity with BOTH sides fed the same in-memory
+# dataset (load_dataset monkeypatched on the reference module and on
+# `datasets`), so the registered MNIST/CIFAR10 entry points run their REAL
+# ingestion chains — split selection, filter_labels, channel handling —
+# end-to-end through seeded episodes, fully offline.
+
+
+def _hf_fixture(channels, hw, names, n_train=48, n_test=16, seed=7):
+    datasets = pytest.importorskip("datasets")
+    import PIL.Image
+
+    rng = np.random.default_rng(seed)
+    feats = datasets.Features(
+        {
+            "image" if channels == 1 else "img": datasets.Image(),
+            "label": datasets.ClassLabel(names=list(names)),
+        }
+    )
+    key = "image" if channels == 1 else "img"
+
+    def split(count, off):
+        arrs = [
+            rng.integers(0, 256, (*hw, channels), dtype=np.uint8)
+            for _ in range(count)
+        ]
+        if channels == 1:
+            arrs = [a[..., 0] for a in arrs]
+        return datasets.Dataset.from_dict(
+            {
+                key: [PIL.Image.fromarray(a) for a in arrs],
+                "label": [(i + off) % len(names) for i in range(count)],
+            },
+            features=feats,
+        )
+
+    return datasets.DatasetDict({"train": split(n_train, 0), "test": split(n_test, 3)})
+
+
+@pytest.fixture()
+def hf_patched(ref_ap, monkeypatch):
+    """Patch both loaders to in-memory fixtures and clear apx's bank cache
+    around the test."""
+    import sys
+
+    import datasets as ds_mod
+
+    import apx.registry  # noqa: F401  (apx.registry the ATTRIBUTE is a function)
+    from ap_gym.envs.image import huggingface_image_classification_dataset as ref_hf
+
+    R = sys.modules["apx.registry"]
+
+    mnist = _hf_fixture(1, (28, 28), [str(i) for i in range(10)])
+    cifar_names = [
+        "airplane", "automobile", "bird", "cat", "deer",
+        "dog", "frog", "horse", "ship", "truck",
+    ]
+    cifar = _hf_fixture(3, (32, 32), cifar_names, seed=11)
+    table = {"mnist": mnist, "cifar10": cifar}
+
+    def fake_load(name, *a, **k):
+        return table[name]
+
+    monkeypatch.setattr(ref_hf, "load_dataset", fake_load)
+    monkeypatch.setattr(ds_mod, "load_dataset", fake_load)
+    R._BANK_CACHE.clear()
+    yield table
+    R._BANK_CACHE.clear()
+
+
+@pytest.mark.parametrize(
+    "env_id,steps",
+    [
+        ("MNIST-v0", 40),          # grayscale, real ingestion, autoreset
+        ("MNIST-test-v0", 20),     # -test split wiring
+        ("CIFAR10-v0", 20),        # RGB, 'img' feature name
+        ("CIFAR10-c3-v0", 20),     # filter_labels remap chain
+        ("MNISTLoc-v0", 40),       # localization: unique-target sampler on
+                                   # real ingested images + target_glimpse
+    ],
+)
+def test_hf_env_golden_parity(ref_ap, hf_patched, env_id, steps):
+    import apx.compat as apc2
+
+    _rollout_compare(
+        ref_ap.make(env_id), apc2.make(env_id), f"{env_id}(fixture)", steps=steps
+    )
+
+
 def test_seed_determinism_across_instances():
     """Two independently constructed compat envs with the same seed produce
     identical trajectories (no hidden global state)."""
