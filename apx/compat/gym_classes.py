@@ -136,12 +136,31 @@ def _batch_ap_action_space(space: ActivePerceptionActionSpace, n: int = 1):
 
 
 class ImageSpace(gym.spaces.Box):
-    """Box with (..., H, W, C) image convention (image_space.py:9-62)."""
+    """Box with (..., H, W, C) image convention and the reference's ctor
+    signature ImageSpace(width, height, channels, batch_shape=(), ...)
+    (image_space.py:9-62)."""
 
-    def __init__(self, low=0.0, high=1.0, shape=None, dtype=np.float32, seed=None):
-        if shape is None or len(shape) < 3:
-            raise ValueError("ImageSpace needs a (..., H, W, C) shape")
-        super().__init__(low=low, high=high, shape=shape, dtype=dtype, seed=seed)
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        channels: int,
+        batch_shape: tuple = (),
+        dtype=np.float32,
+        seed=None,
+        low=0.0,
+        high=1.0,
+    ):
+        super().__init__(
+            low, high, (*batch_shape, height, width, channels), dtype, seed
+        )
+
+    @classmethod
+    def from_box(cls, box: gym.spaces.Box):
+        return cls(
+            box.shape[-2], box.shape[-3], box.shape[-1], box.shape[:-3],
+            box.dtype, box.np_random, box.low, box.high,
+        )
 
     @property
     def height(self) -> int:
@@ -162,11 +181,12 @@ class ImageSpace(gym.spaces.Box):
 
 @gym.vector.utils.batch_space.register(ImageSpace)
 def _batch_image_space(space: ImageSpace, n: int = 1):
-    return ImageSpace(
-        low=np.broadcast_to(space.low, (n, *space.shape)).copy(),
-        high=np.broadcast_to(space.high, (n, *space.shape)).copy(),
-        shape=(n, *space.shape),
-        dtype=space.dtype,
+    return ImageSpace.from_box(
+        gym.spaces.Box(
+            low=np.broadcast_to(space.low, (n, *space.shape)).copy(),
+            high=np.broadcast_to(space.high, (n, *space.shape)).copy(),
+            dtype=space.dtype,
+        )
     )
 
 

@@ -132,6 +132,26 @@ def raycast_grid(
     row = jnp.arange(h, dtype=jnp.float32)
     nx1, fx1 = _slab_axis(o[0], d[:, 0:1], col[None, :], col[None, :] + 1.0)
     ny1, fy1 = _slab_axis(o[1], d[:, 1:2], row[None, :], row[None, :] + 1.0)
+
+    if not geos_typing:
+        # Hot path: hoist the [0, 1] clips into the SEPARABLE per-axis
+        # arrays (max/min distribute exactly over each other in floats —
+        # bitwise-identical results), so the per-cell lattice work is just
+        # max, min, cmp, and, select feeding the min-reduce.
+        nx0 = jnp.tile(jnp.maximum(nx1, 0.0), (1, h))
+        ny0 = jnp.repeat(jnp.maximum(ny1, 0.0), w, axis=-1)
+        fxc = jnp.tile(jnp.minimum(fx1, 1.0), (1, h))
+        fyc = jnp.repeat(jnp.minimum(fy1, 1.0), w, axis=-1)
+        a = jnp.maximum(nx0, ny0)
+        b = jnp.minimum(fxc, fyc)
+        valid = occb.reshape(-1)[None] & (a <= b)
+        t_hit = jnp.min(jnp.where(valid, a, jnp.inf), axis=-1)  # (R,)
+        hit = jnp.isfinite(t_hit)
+        dist = jnp.where(
+            hit, jnp.maximum(t_hit * seg_len - eps, 0.0), seg_len
+        ).astype(jnp.float32)
+        return dist, t_hit
+
     nx = jnp.tile(nx1, (1, h))  # (R, H*W): cell (cy, cx) -> index cy*W + cx
     fx = jnp.tile(fx1, (1, h))
     ny = jnp.repeat(ny1, w, axis=-1)
@@ -147,14 +167,6 @@ def raycast_grid(
     a = jnp.maximum(jnp.maximum(nx, ny), 0.0)  # clipped entry
     b = jnp.minimum(jnp.minimum(fx, fy), 1.0)  # clipped exit
     valid = occ_r & (a <= b)
-
-    if not geos_typing:
-        t_hit = jnp.min(jnp.where(valid, a, jnp.inf), axis=axes)  # (R,)
-        hit = jnp.isfinite(t_hit)
-        dist = jnp.where(
-            hit, jnp.maximum(t_hit * seg_len - eps, 0.0), seg_len
-        ).astype(jnp.float32)
-        return dist, t_hit
 
     nd = valid & (a < b)  # real crossing interval
     dg = valid & (a == b)  # zero-width graze

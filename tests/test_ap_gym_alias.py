@@ -272,3 +272,18 @@ print("SCRIPT_OK")
     assert out.returncode == 0 and "SCRIPT_OK" in out.stdout, (
         script, out.stdout[-2000:], out.stderr[-3000:],
     )
+
+
+def test_image_space_reference_ctor(alias):
+    """ImageSpace uses the reference's (width, height, channels) ctor
+    (image_space.py:9-36) — the advanced-usage doc constructs it that way."""
+    import gymnasium as gym
+
+    sp = alias.ImageSpace(width=5, height=7, channels=1)
+    assert sp.shape == (7, 5, 1)
+    assert sp.width == 5 and sp.height == 7 and sp.channels == 1
+    batched = gym.vector.utils.batch_space(sp, 3)
+    assert isinstance(batched, alias.ImageSpace)
+    assert batched.shape == (3, 7, 5, 1) and batched.batch_shape == (3,)
+    lg = alias.LogitSpace(-np.inf, np.inf, shape=(10,))
+    assert gym.vector.utils.batch_space(lg, 2).shape == (2, 10)
