@@ -69,6 +69,10 @@ class LIDARLocalizationParams(struct.PyTreeNode):
     #     matmuls (6.25M vs 7.23M: tiny batched matmuls use <5% of an MXU
     #     tile each). Results match dense to 1 ulp; kept selectable and
     #     equivalence-tested.
+    #   "pallas_window": per-env DMA window extraction — Mosaic REJECTS
+    #     sub-lane-tile (128) DMA slices on TPU, so this runs only under
+    #     interpret mode (CPU tests); kept as the documented dead end that
+    #     completes the ceiling argument (PERF.md).
     #   "windowed"/"hybrid": dynamic_slice windows — 8-20x slower on TPU
     #     (per-env gathers don't tile), faster on CPU.
     #   "pallas": hand-scheduled VMEM kernel (dense math; loses XLA fusion).
@@ -82,8 +86,13 @@ class LIDARLocalizationParams(struct.PyTreeNode):
     def ray_pad(self) -> int:
         import math
 
-        # mxu_window needs pad >= win//2 so window indices stay in range.
-        return max(int(math.ceil(self.lidar_range)) + 1, self.win_size // 2)
+        # mxu_window needs pad >= win//2 so window indices stay in range;
+        # pallas_window additionally needs room for the 8-aligned 24-row
+        # DMA windows (see apx.ops.window_pallas).
+        base = max(int(math.ceil(self.lidar_range)) + 1, self.win_size // 2)
+        if self.raycast_backend == "pallas_window":
+            return max(base, 16)
+        return base
 
     @property
     def win_size(self) -> int:
@@ -92,6 +101,12 @@ class LIDARLocalizationParams(struct.PyTreeNode):
     @property
     def use_mxu_window(self) -> bool:
         return self.raycast_backend == "mxu_window" and self.lidar_range <= (
+            self.win_size // 2 - 2
+        )
+
+    @property
+    def use_pallas_window(self) -> bool:
+        return self.raycast_backend == "pallas_window" and self.lidar_range <= (
             self.win_size // 2 - 2
         )
 
@@ -159,6 +174,31 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
     def _make_window(self, state, params):
         """One (win, win) occupancy window + base for all of a step's scans
         (beams of range <= 6 from any point within 1.0 of state.pos fit)."""
+        if params.use_pallas_window:
+            from ..ops.window_pallas import make_window_extractor
+
+            win = params.win_size
+            pos = state.pos.astype(jnp.float32)
+            bx = jnp.floor(pos[0]) - (win // 2 - 1)
+            # Row start 8-aligned for the DMA sublane tiling; the base
+            # absorbs the alignment offset and the 24-row window carries
+            # the slack (window_pallas.WIN_ROWS).
+            y0 = (jnp.floor(pos[1]) - (win // 2 - 1) + params.ray_pad).astype(
+                jnp.int32
+            )
+            y0a = (y0 // 8) * 8
+            by = (y0a - params.ray_pad).astype(jnp.float32)
+            x0 = (bx + params.ray_pad).astype(jnp.int32)
+            if jax.default_backend() == "tpu":
+                raise ValueError(
+                    "raycast_backend='pallas_window' cannot run on TPU: the "
+                    "DMA engines reject sub-lane-tile (128) slices, so "
+                    "16-wide windows cannot be extracted (see PERF.md and "
+                    "apx.ops.window_pallas). Use the default 'xla' backend."
+                )
+            extractor = make_window_extractor(win=win, interpret=True)
+            window = extractor(state.occ_padded, jnp.stack([x0, y0a]))
+            return window, jnp.stack([bx, by])
         if not params.use_mxu_window:
             return None
         return extract_window_mxu(

@@ -397,3 +397,36 @@ def test_mxu_window_matches_dense():
             np.asarray(s1.inner.inner.pos), np.asarray(s2.inner.inner.pos), atol=3e-6
         )
         np.testing.assert_array_equal(np.asarray(te1), np.asarray(te2))
+
+
+def test_pallas_window_matches_dense():
+    """The Pallas window-extraction backend (interpret mode on CPU; real
+    kernel on TPU) matches the dense backend to float rounding."""
+    import jax
+    import jax.numpy as jnp
+
+    import apx
+
+    venv, p_pw = apx.make_vec(
+        "LIDARLocRooms-v0", num_envs=16, raycast_backend="pallas_window"
+    )
+    _, p_dense = apx.make_vec("LIDARLocRooms-v0", num_envs=16)
+    assert p_pw.use_pallas_window
+    key = jax.random.PRNGKey(2)
+    o1, s1, _ = venv.reset(key, p_pw)
+    o2, s2, _ = venv.reset(key, p_dense)
+    np.testing.assert_array_equal(np.asarray(o1["lidar"]), np.asarray(o2["lidar"]))
+    step = jax.jit(venv.step)
+    for t in range(20):
+        k = jax.random.fold_in(key, t)
+        act = {
+            "action": jax.random.uniform(k, (16, 2), minval=-1, maxval=1),
+            "prediction": jnp.zeros((16, 2)),
+        }
+        o1, s1, r1, te1, *_ = step(k, s1, act, p_pw)
+        o2, s2, r2, te2, *_ = step(k, s2, act, p_dense)
+        np.testing.assert_allclose(
+            np.asarray(o1["lidar"]), np.asarray(o2["lidar"]), atol=1.5e-6,
+            err_msg=f"step {t}",
+        )
+        np.testing.assert_array_equal(np.asarray(te1), np.asarray(te2))
