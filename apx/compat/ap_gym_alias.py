@@ -219,6 +219,7 @@ def install(name: str = "ap_gym") -> types.ModuleType:
         return obj
 
     mod.idoc = idoc
+    mod.__apx_alias__ = True  # lets tooling tell the alias from the real thing
     sys.modules[name] = mod
     return mod
 

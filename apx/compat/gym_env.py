@@ -101,6 +101,11 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
         self.shim = make_shim(base, params, num_envs) if rng == "reference" else None
         if self.shim is None:
             self.rng = "native"
+        if self.rng == "reference" and getattr(params, "use_beam_tables", False):
+            # Parity mode injects host-generated episode maps that are NOT
+            # in the bank, so bank-indexed beam tables must not be used.
+            params = params.replace(use_beam_tables=False)
+            self.params = params
 
         self._dense_loss = env.loss_fn(params)
         self._loss = WeightedLossFn(inner=self._dense_loss) if sparse else self._dense_loss

@@ -142,6 +142,18 @@ class MapBank(struct.PyTreeNode):
     # the map shape (a non-default-sized bank must not silently switch
     # generator families).
     kind: str = struct.field(pytree_node=False, default="custom")
+    # Optional beam face tables (build_beam_tables): one gather replaces
+    # the whole 8-beam observation slab scan. (M, 8, 2, H, W) f32 / bool.
+    beam_face: jax.Array | None = None
+    beam_axis: jax.Array | None = None
+
+    def with_beam_tables(self) -> "MapBank":
+        """Bank + precomputed first-wall face tables for the default 8-beam
+        LIDAR directions (see build_beam_tables)."""
+        face, axis_x = build_beam_tables(np.asarray(self.maps))
+        return self.replace(
+            beam_face=jnp.asarray(face), beam_axis=jnp.asarray(axis_x)
+        )
 
     @property
     def num_maps(self) -> int:
@@ -248,3 +260,127 @@ def make_rooms_bank(
         backend=backend,
         kind="rooms",
     )
+
+
+# ---------------------------------------------------------------------------
+# Beam face tables: per-cell first-wall FACE coordinates for the 8 default
+# LIDAR beam directions. The runtime observation scan becomes one gather +
+# two flops per (env, beam) instead of a slab test against every map cell,
+# and the hit parameter t = (face - p[axis]) * inv[axis] is the exact
+# expression the slab computes for that entry face, so distances stay
+# bitwise-equal to the dense raycast away from the measure-zero set of
+# exact corner events (see apx/ops/raycast.py).
+
+# Integer direction (sx, sy) of beams at angles linspace(-pi, pi, 8,
+# endpoint=False): 0:-x, 1:(-x,-y), 2:-y, 3:(+x,-y), 4:+x, 5:(+x,+y),
+# 6:+y, 7:(-x,+y).
+BEAM_SIGNS = np.array(
+    [(-1, 0), (-1, -1), (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1)],
+    dtype=np.int32,
+)
+_MISS = 1.0e6  # face sentinel: t becomes huge positive -> miss
+
+
+def _axis_face_tables(occ: np.ndarray) -> dict:
+    """(M, H, W) first-wall face coordinate along each axis direction."""
+    m, h, w = occ.shape
+    col = np.arange(w)[None, None, :]
+    row = np.arange(h)[None, :, None]
+    big = np.full_like(occ, _MISS, dtype=np.float64)
+
+    # +x: nearest wall column > cx; near face = that column.
+    wall_col = np.where(occ, col, _MISS).astype(np.float64)
+    px = np.flip(np.minimum.accumulate(np.flip(wall_col, -1), -1), -1)
+    face_px = np.concatenate([px[..., 1:], big[..., :1]], axis=-1)
+    # -x: nearest wall column < cx; near face = column + 1.
+    wall_col_n = np.where(occ, col, -_MISS).astype(np.float64)
+    nx_ = np.maximum.accumulate(wall_col_n, -1)
+    face_nx = np.concatenate([-big[..., :1], nx_[..., :-1] + 1.0], axis=-1)
+    face_nx = np.where(face_nx < -_MISS / 2, -_MISS, face_nx)
+    # +y / -y over rows.
+    wall_row = np.where(occ, row, _MISS).astype(np.float64)
+    py = np.flip(np.minimum.accumulate(np.flip(wall_row, -2), -2), -2)
+    face_py = np.concatenate([py[..., 1:, :], big[..., :1, :]], axis=-2)
+    wall_row_n = np.where(occ, row, -_MISS).astype(np.float64)
+    ny_ = np.maximum.accumulate(wall_row_n, -2)
+    face_ny = np.concatenate([-big[..., :1, :], ny_[..., :-1, :] + 1.0], axis=-2)
+    face_ny = np.where(face_ny < -_MISS / 2, -_MISS, face_ny)
+    return {(1, 0): face_px, (-1, 0): face_nx, (0, 1): face_py, (0, -1): face_ny}
+
+
+def _diag_face_tables(occ: np.ndarray, sx: int, sy: int):
+    """Walk the exact 45-degree staircase from every cell: returns, per
+    variant (0 = x-crossing first, 1 = y-crossing first), the first-wall
+    face coordinate and which axis it is on (True = x face).
+
+    For |dx| == |dy| the x and y grid crossings strictly alternate, so the
+    visited-cell sequence from a start cell depends only on which crossing
+    comes first — two walks cover every fractional start position."""
+    m, h, w = occ.shape
+    faces = np.empty((2, m, h, w), dtype=np.float64)
+    axes_x = np.empty((2, m, h, w), dtype=bool)
+    for v in range(2):
+        cx = np.broadcast_to(np.arange(w)[None, None, :], (m, h, w)).copy()
+        cy = np.broadcast_to(np.arange(h)[None, :, None], (m, h, w)).copy()
+        face = np.full((m, h, w), _MISS * (sx if sx else 1), dtype=np.float64)
+        ax_x = np.ones((m, h, w), dtype=bool)
+        done = np.zeros((m, h, w), dtype=bool)
+        midx = np.arange(m)[:, None, None]
+        for k in range(2 * (h + w)):
+            step_x = (k % 2 == 0) if v == 0 else (k % 2 == 1)
+            if step_x:
+                nxt = cx + sx
+                oob = (nxt < 0) | (nxt >= w)
+                hit = np.zeros_like(done)
+                safe = np.clip(nxt, 0, w - 1)
+                hit[~done & ~oob] = occ[midx, cy, safe][~done & ~oob]
+                newly = ~done & hit
+                face[newly] = (nxt + (0 if sx > 0 else 1))[newly]
+                ax_x[newly] = True
+                done |= newly | (~done & oob)
+                cx = np.where(done, cx, nxt)
+            else:
+                nyt = cy + sy
+                oob = (nyt < 0) | (nyt >= h)
+                hit = np.zeros_like(done)
+                safe = np.clip(nyt, 0, h - 1)
+                hit[~done & ~oob] = occ[midx, safe, cx][~done & ~oob]
+                newly = ~done & hit
+                face[newly] = (nyt + (0 if sy > 0 else 1))[newly]
+                ax_x[newly] = False
+                done |= newly | (~done & oob)
+                cy = np.where(done, cy, nyt)
+            if done.all():
+                break
+        # Misses keep the sentinel; give it the sign of the x direction so
+        # t = (face - p) * inv comes out huge POSITIVE.
+        miss = ~done | (np.abs(face) >= _MISS / 2)
+        face[miss] = _MISS * (1 if sx > 0 else -1)
+        ax_x[miss] = True
+        faces[v] = face
+        axes_x[v] = ax_x
+    return faces, axes_x
+
+
+def build_beam_tables(maps: np.ndarray):
+    """(face, axis_x) arrays of shape (M, 8, 2, H, W):
+    face = first-wall face coordinate for beam b from cell (cy, cx) under
+    staircase variant v (axis beams ignore v), axis_x = whether that face
+    is an x = const face."""
+    occ = np.asarray(maps, dtype=bool)
+    m, h, w = occ.shape
+    axis_tables = _axis_face_tables(occ)
+    face = np.empty((m, 8, 2, h, w), dtype=np.float32)
+    axis_x = np.empty((m, 8, 2, h, w), dtype=bool)
+    for b, (sx, sy) in enumerate(BEAM_SIGNS):
+        if sx == 0 or sy == 0:
+            t = axis_tables[(sx, sy)]
+            face[:, b, 0] = face[:, b, 1] = t.astype(np.float32)
+            axis_x[:, b, :] = sy == 0  # x face for x-axis beams
+        else:
+            f, ax = _diag_face_tables(occ, int(sx), int(sy))
+            face[:, b, 0] = f[0].astype(np.float32)
+            face[:, b, 1] = f[1].astype(np.float32)
+            axis_x[:, b, 0] = ax[0]
+            axis_x[:, b, 1] = ax[1]
+    return face, axis_x

@@ -46,6 +46,7 @@ from ..data.floor_map import MapBank
 from ..ops.raycast import (
     extract_window_mxu,
     lidar_directions,
+    lidar_table_scan,
     pad_occupancy,
     raycast_grid,
     raycast_grid_windowed,
@@ -77,6 +78,15 @@ class LIDARLocalizationParams(struct.PyTreeNode):
     #     (per-env gathers don't tile), faster on CPU.
     #   "pallas": hand-scheduled VMEM kernel (dense math; loses XLA fusion).
     raycast_backend: str = struct.field(pytree_node=False, default="xla")
+    # Observation-scan beam tables (apx.ops.raycast.lidar_table_scan): one
+    # gather per beam instead of the full slab scan. Measured SLOWER in
+    # context (same-process A/B on v5e: 3.05M vs 4.80M env-steps/s) even
+    # though an isolated (4096, 8) gather microbenches at 31.5us — in the
+    # step pipeline the state-dependent gather serializes against the VPU
+    # work it replaces, while the dense slab fuses into it. Kept as a
+    # selectable, bitwise-equivalence-tested alternative; requires a bank
+    # built with MapBank.with_beam_tables().
+    use_beam_tables: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def windowed(self) -> bool:
@@ -102,6 +112,14 @@ class LIDARLocalizationParams(struct.PyTreeNode):
     def use_mxu_window(self) -> bool:
         return self.raycast_backend == "mxu_window" and self.lidar_range <= (
             self.win_size // 2 - 2
+        )
+
+    @property
+    def beam_tables_active(self) -> bool:
+        return (
+            self.use_beam_tables
+            and self.map_bank.beam_face is not None
+            and self.lidar_beam_count == 8
         )
 
     @property
@@ -237,13 +255,22 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         self, state: LIDARLocalizationState, params, typed: bool = False,
         window=None,
     ) -> dict[str, jax.Array]:
-        if window is None:
-            window = self._make_window(state, params)
         dirs = lidar_directions(params.lidar_beam_count) * params.lidar_range
-        dist, _ = self._raycast(
-            state, state.pos, state.pos + dirs, params, params.ray_pad,
-            typed=typed, window=window,
-        )
+        if not typed and params.beam_tables_active:
+            dist = lidar_table_scan(
+                params.map_bank.beam_face,
+                params.map_bank.beam_axis,
+                state.bank_pos,
+                state.pos,
+                dirs,
+            )
+        else:
+            if window is None:
+                window = self._make_window(state, params)
+            dist, _ = self._raycast(
+                state, state.pos, state.pos + dirs, params, params.ray_pad,
+                typed=typed, window=window,
+            )
         obs = {
             "lidar": jnp.clip(dist / params.lidar_range, -1.0, 1.0),
             "odometry": (state.pos - state.initial_pos) / self._map_size(params),

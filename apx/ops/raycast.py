@@ -304,3 +304,59 @@ def extract_window_mxu(
         preferred_element_type=jnp.float32,
     )
     return w > 0.5, base
+
+
+def lidar_table_scan(
+    face: jnp.ndarray,  # (M, 8, 2, H, W) f32 — first-wall face coordinate
+    axis_x: jnp.ndarray,  # (M, 8, 2, H, W) bool — face is x = const
+    bank_pos: jnp.ndarray,  # () int32
+    pos: jnp.ndarray,  # (2,) f32
+    dirs_scaled: jnp.ndarray,  # (8, 2) f32 = unit beam dirs * range
+    eps: float = _EPS,
+) -> jnp.ndarray:
+    """The 8-beam observation scan as one table lookup per beam.
+
+    The tables (apx.data.floor_map.build_beam_tables) store, per map cell
+    and per beam direction (with the 45-degree staircase split into its
+    two fractional variants), the coordinate of the first wall FACE the
+    beam crosses. The hit parameter t = (face - p[axis]) * inv[axis] is
+    the exact expression the dense slab computes for that entry face, so
+    distances are bitwise-equal to raycast_grid's fast path away from the
+    measure-zero set of exact lattice-corner events (where the fast slab
+    registers zero-width corner touches the staircase never visits).
+    """
+    from ..data.floor_map import BEAM_SIGNS
+
+    m, nb, _, h, w = face.shape
+    p = pos.astype(jnp.float32)
+    # The slab path computes d = (pos + dirs) - pos; replicate the f32
+    # round trip exactly so t/seg match the dense form bitwise.
+    d = (p[None, :] + dirs_scaled.astype(jnp.float32)) - p[None, :]
+    seg = jnp.linalg.norm(d, axis=-1)  # (8,)
+    inv = jnp.where(d == 0.0, jnp.inf, 1.0 / jnp.where(d == 0.0, 1.0, d))
+    cx = jnp.clip(jnp.floor(p[0]).astype(jnp.int32), 0, w - 1)
+    cy = jnp.clip(jnp.floor(p[1]).astype(jnp.int32), 0, h - 1)
+    fx = p[0] - jnp.floor(p[0])
+    fy = p[1] - jnp.floor(p[1])
+
+    signs = jnp.asarray(BEAM_SIGNS)  # (8, 2) int32
+    sx, sy = signs[:, 0], signs[:, 1]
+    # Which grid crossing comes first decides the staircase variant
+    # (|dx| == |dy| bitwise for the diagonal beams, so the comparison is a
+    # pure fraction comparison). Axis beams read variant 0.
+    tx = jnp.where(sx > 0, 1.0 - fx, fx)
+    ty = jnp.where(sy > 0, 1.0 - fy, fy)
+    v = jnp.where((sx != 0) & (sy != 0), (tx >= ty).astype(jnp.int32), 0)
+
+    b = jnp.arange(nb, dtype=jnp.int32)
+    flat = (((bank_pos * nb + b) * 2 + v) * h + cy) * w + cx
+    face_v = jnp.take(face.reshape(-1), flat)
+    ax_v = jnp.take(axis_x.reshape(-1), flat)
+
+    t = jnp.where(
+        ax_v, (face_v - p[0]) * inv[:, 0], (face_v - p[1]) * inv[:, 1]
+    )
+    hit = t <= 1.0
+    return jnp.where(
+        hit, jnp.maximum(t * seg - eps, 0.0), seg
+    ).astype(jnp.float32)

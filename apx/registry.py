@@ -99,9 +99,13 @@ def _map_bank(kind: str, static: bool):
     if key not in _BANK_CACHE:
         mk = make_maze_bank if kind == "maze" else make_rooms_bank
         if static:
-            _BANK_CACHE[key] = mk(num_maps=1, indices=[0])
+            bank = mk(num_maps=1, indices=[0])
         else:
-            _BANK_CACHE[key] = mk(num_maps=256)
+            bank = mk(num_maps=256)
+        # NB: beam face tables (bank.with_beam_tables()) were measured
+        # SLOWER than the dense slab scan in context (PERF.md round-2
+        # study), so registered envs use plain banks.
+        _BANK_CACHE[key] = bank
     return _BANK_CACHE[key]
 
 

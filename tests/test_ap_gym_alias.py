@@ -74,9 +74,11 @@ def alias():
     saved = sys.modules.get("ap_gym")
     mod = install("ap_gym")
     yield mod
-    if saved is not None:
+    if saved is not None and not getattr(saved, "__apx_alias__", False):
         sys.modules["ap_gym"] = saved
     else:
+        # Never leave an alias behind: parity tests must see the real
+        # reference (or import it fresh).
         sys.modules.pop("ap_gym", None)
 
 

@@ -430,3 +430,40 @@ def test_pallas_window_matches_dense():
             err_msg=f"step {t}",
         )
         np.testing.assert_array_equal(np.asarray(te1), np.asarray(te2))
+
+
+def test_beam_tables_match_slab_bitwise():
+    """The beam face-table observation scan (a measured-slower alternative
+    kept selectable, PERF.md) is BITWISE equal to the dense slab scan at
+    generic positions:
+    the hit parameter is the same f32 expression (face - p) * inv for the
+    entry face the slab would select."""
+    import jax
+    import jax.numpy as jnp
+
+    import apx
+
+    from apx.data.floor_map import make_maze_bank
+
+    bank = make_maze_bank(num_maps=8).with_beam_tables()
+    venv, p_t = apx.make_vec(
+        "LIDARLocMaze-v0", num_envs=16, map_bank=bank, use_beam_tables=True
+    )
+    _, p_s = apx.make_vec("LIDARLocMaze-v0", num_envs=16, map_bank=bank)
+    assert p_t.beam_tables_active and not p_s.beam_tables_active
+    key = jax.random.PRNGKey(9)
+    o1, s1, _ = venv.reset(key, p_t)
+    o2, s2, _ = venv.reset(key, p_s)
+    np.testing.assert_array_equal(np.asarray(o1["lidar"]), np.asarray(o2["lidar"]))
+    step = jax.jit(venv.step)
+    for t in range(40):
+        k = jax.random.fold_in(key, t)
+        act = {
+            "action": jax.random.uniform(k, (16, 2), minval=-1, maxval=1),
+            "prediction": jnp.zeros((16, 2)),
+        }
+        o1, s1, *_ = step(k, s1, act, p_t)
+        o2, s2, *_ = step(k, s2, act, p_s)
+        np.testing.assert_array_equal(
+            np.asarray(o1["lidar"]), np.asarray(o2["lidar"]), err_msg=f"step {t}"
+        )
