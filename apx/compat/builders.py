@@ -66,7 +66,9 @@ def _base_reset_from_draws(base, draws: dict[str, Any], params):
         # Parity mode resolves the target host-side (shims.py) for both the
         # unique-sampler reset and the uniform autoreset resample.
         target = jnp.asarray(draws["target"], jnp.float32)
-        state = ImageLocalizationState(perception=perception, target=target)
+        state = jax.vmap(lambda p, t: base._make_state(p, t, params))(
+            perception, target
+        )
         obs = jax.vmap(lambda s: base._observe(s, params))(state)
         return obs, state, jax.vmap(ImagePerceptionEngine.info)(perception)
 

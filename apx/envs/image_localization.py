@@ -33,6 +33,11 @@ __all__ = ["ImageLocalizationEnv", "ImageLocalizationState"]
 class ImageLocalizationState(struct.PyTreeNode):
     perception: ImagePerceptionState
     target: jax.Array  # (2,) f32 normalized target position
+    # The target is CONSTANT within an episode, so its glimpse is computed
+    # once at (auto)reset and carried in state — bitwise-identical to the
+    # reference's per-step recomputation (image_localization.py:169-175)
+    # and half the per-step glimpse GEMM work.
+    target_glimpse: jax.Array  # (s0, s1, C) f32
 
 
 class ImageLocalizationEnv(APEnv[ImagePerceptionParams, ImageLocalizationState]):
@@ -76,11 +81,19 @@ class ImageLocalizationEnv(APEnv[ImagePerceptionParams, ImageLocalizationState])
         return loss
 
     # ---- dynamics ----------------------------------------------------------
+    @staticmethod
+    def _make_state(perception, target, params) -> "ImageLocalizationState":
+        return ImageLocalizationState(
+            perception=perception,
+            target=target,
+            target_glimpse=ImagePerceptionEngine.get_glimpse(
+                perception, target, params
+            ),
+        )
+
     def _observe(self, state: ImageLocalizationState, params):
         obs = ImagePerceptionEngine.observe(state.perception, params)
-        obs["target_glimpse"] = ImagePerceptionEngine.get_glimpse(
-            state.perception, state.target, params
-        )
+        obs["target_glimpse"] = state.target_glimpse
         return obs
 
     def reset_env(self, key, params):
@@ -89,7 +102,7 @@ class ImageLocalizationEnv(APEnv[ImagePerceptionParams, ImageLocalizationState])
         target = ImagePerceptionEngine.sample_unique_glimpse_position(
             k_target, perception, params
         )
-        state = ImageLocalizationState(perception=perception, target=target)
+        state = self._make_state(perception, target, params)
         return self._observe(state, params), state, ImagePerceptionEngine.info(perception)
 
     def autoreset_env(self, key, old_state, params):
@@ -99,7 +112,7 @@ class ImageLocalizationEnv(APEnv[ImagePerceptionParams, ImageLocalizationState])
         target = jax.random.uniform(k_target, (2,), minval=-1.0, maxval=1.0).astype(
             jnp.float32
         )
-        state = ImageLocalizationState(perception=perception, target=target)
+        state = self._make_state(perception, target, params)
         return self._observe(state, params), state, ImagePerceptionEngine.info(perception)
 
     def step_env(self, key, state, action, prediction, params) -> APStepResult:
