@@ -308,6 +308,15 @@ def test_advanced_usage_doc_blocks_execute():
 
     saved = sys.modules.get("ap_gym")
     try:
+        # In a fresh process `import apx.compat.ap_gym_alias` auto-installs
+        # the alias; inside the suite the module is already import-cached,
+        # so reload it to exercise the documented path.
+        import importlib
+
+        import apx.compat.ap_gym_alias as _alias_mod
+
+        sys.modules.pop("ap_gym", None)
+        importlib.reload(_alias_mod)
         ns2 = {}
         exec(blocks[4], ns2)
         ns2["env"].reset(seed=0)
