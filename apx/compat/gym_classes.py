@@ -9,24 +9,35 @@ constructs these directly, so the drop-in alias (`apx.compat.ap_gym_alias`)
 needs real classes with the same names, ctor signatures and step/reset
 semantics — not just `make`/`make_vec`.
 
-These classes are deliberately plain host Python (like the reference's):
-they exist for interop with user gym code. The TPU execution path is the
-functional `apx` API + `apx.compat.gym_env` adapters; envs produced by
-`apx.compat.make(_vec)` pass through `ensure_active_perception_env`
-untouched because they duck-type the active-perception surface.
+The implementation here is deliberately structured differently from the
+reference: one shared step composer (`_compose_step`) drives both the
+single and vector step templates (parameterized by batch shape and
+info-merge policy, the two observable differences); the derived-space
+accessors are `_subspace` descriptors; the wrapper override pattern is a
+`_fallthrough` property factory; the restore wrappers pin their resolved
+attributes through a `_pinned` descriptor; the single/vector AP-env
+searches share one iterative `_unwrap_chain` walker; and the pseudo
+wrappers share a `_PseudoPredictionChannel` mixin. Behavioral citations
+are to /root/reference/ap_gym/<file>:<lines>.
 
-Behavioral citations are to /root/reference/ap_gym/<file>:<lines>.
+These classes are plain host Python (like the reference's): they exist for
+interop with user gym code. The TPU execution path is the functional `apx`
+API + `apx.compat.gym_env` adapters; envs produced by `apx.compat.make(_vec)`
+pass through `ensure_active_perception_env` untouched because they
+duck-type the active-perception surface.
 """
 
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
+from contextlib import contextmanager
 from typing import Any
 
 import gymnasium as gym
 import numpy as np
 
 from ..core import losses as L
+from .gym_spaces import ActivePerceptionActionSpace, ImageSpace, LogitSpace
 from .loss_adapter import CompatLossFn
 
 __all__ = [
@@ -92,120 +103,7 @@ def _as_compat_loss(loss) -> CompatLossFn:
 
 
 # ---------------------------------------------------------------------------
-# Spaces
-
-
-class ActivePerceptionActionSpace(gym.spaces.Dict):
-    """gym.spaces.Dict of {"action", "prediction"} with accessors; its own
-    batch_space registration keeps the subclass under vectorization
-    (active_perception_env.py:27-68)."""
-
-    def __init__(self, inner_action_space, prediction_space, seed=None):
-        super().__init__(
-            {"action": inner_action_space, "prediction": prediction_space},
-            seed=seed,
-        )
-
-    @property
-    def inner_action_space(self):
-        return self["action"]
-
-    @property
-    def prediction_space(self):
-        return self["prediction"]
-
-    @property
-    def as_dict(self) -> gym.spaces.Dict:
-        return gym.spaces.Dict(
-            {"action": self["action"], "prediction": self["prediction"]},
-            seed=self._np_random,
-        )
-
-    @staticmethod
-    def from_dict(d: gym.spaces.Dict) -> "ActivePerceptionActionSpace":
-        return ActivePerceptionActionSpace(
-            d["action"], d["prediction"], seed=d._np_random
-        )
-
-
-@gym.vector.utils.batch_space.register(ActivePerceptionActionSpace)
-def _batch_ap_action_space(space: ActivePerceptionActionSpace, n: int = 1):
-    return ActivePerceptionActionSpace.from_dict(
-        gym.vector.utils.batch_space(space.as_dict, n)
-    )
-
-
-class ImageSpace(gym.spaces.Box):
-    """Box with (..., H, W, C) image convention and the reference's ctor
-    signature ImageSpace(width, height, channels, batch_shape=(), ...)
-    (image_space.py:9-62)."""
-
-    def __init__(
-        self,
-        width: int,
-        height: int,
-        channels: int,
-        batch_shape: tuple = (),
-        dtype=np.float32,
-        seed=None,
-        low=0.0,
-        high=1.0,
-    ):
-        super().__init__(
-            low, high, (*batch_shape, height, width, channels), dtype, seed
-        )
-
-    @classmethod
-    def from_box(cls, box: gym.spaces.Box):
-        return cls(
-            box.shape[-2], box.shape[-3], box.shape[-1], box.shape[:-3],
-            box.dtype, box.np_random, box.low, box.high,
-        )
-
-    @property
-    def height(self) -> int:
-        return self.shape[-3]
-
-    @property
-    def width(self) -> int:
-        return self.shape[-2]
-
-    @property
-    def channels(self) -> int:
-        return self.shape[-1]
-
-    @property
-    def batch_shape(self) -> tuple[int, ...]:
-        return self.shape[:-3]
-
-
-@gym.vector.utils.batch_space.register(ImageSpace)
-def _batch_image_space(space: ImageSpace, n: int = 1):
-    return ImageSpace.from_box(
-        gym.spaces.Box(
-            low=np.broadcast_to(space.low, (n, *space.shape)).copy(),
-            high=np.broadcast_to(space.high, (n, *space.shape)).copy(),
-            dtype=space.dtype,
-        )
-    )
-
-
-class LogitSpace(gym.spaces.Box):
-    """Box tagging unbounded logit vectors (logit_space.py:4-23)."""
-
-
-@gym.vector.utils.batch_space.register(LogitSpace)
-def _batch_logit_space(space: LogitSpace, n: int = 1):
-    return LogitSpace(
-        low=np.broadcast_to(space.low, (n, *space.shape)).copy(),
-        high=np.broadcast_to(space.high, (n, *space.shape)).copy(),
-        shape=(n, *space.shape),
-        dtype=space.dtype,
-    )
-
-
-# ---------------------------------------------------------------------------
-# Single-env base classes
+# Shared machinery
 
 
 class NoActivePerceptionEnvError(ValueError):
@@ -218,6 +116,107 @@ def _is_ap(obj) -> bool:
     return hasattr(obj, "loss_fn") and hasattr(obj, "prediction_target_space")
 
 
+def _is_vec_ap(obj) -> bool:
+    """Vector envs additionally carry the single_* space variants."""
+    return _is_ap(obj) and hasattr(obj, "single_prediction_target_space")
+
+
+class _subspace:
+    """Descriptor for the derived-space accessors: reads key ``key`` of the
+    composite space stored under attribute ``attr`` (so e.g.
+    ``prediction_space`` is always ``action_space["prediction"]``)."""
+
+    def __init__(self, attr: str, key: str):
+        self._attr, self._key = attr, key
+
+    def __get__(self, obj, objtype=None):
+        if obj is None:
+            return self
+        return getattr(obj, self._attr)[self._key]
+
+
+def _fallthrough(name: str):
+    """Wrapper attribute policy: an explicit override stored in the ``_name``
+    slot wins; otherwise the wrapped env's value shows through. Subclasses
+    (e.g. Sparsify) install overrides by assigning the slot."""
+    slot = "_" + name
+
+    def _get(self):
+        override = getattr(self, slot)
+        return override if override is not None else getattr(self.env, name)
+
+    return property(_get)
+
+
+class _pinned:
+    """Attribute frozen at construction time via :func:`_pin`. Reads return
+    the pinned value; ordinary assignment is ignored (gymnasium's
+    VectorWrapper.__init__ writes action_space/single_action_space, which
+    must not clobber the restored spaces)."""
+
+    def __set_name__(self, owner, name):
+        self._slot = "_pin_" + name
+
+    def __get__(self, obj, objtype=None):
+        if obj is None:
+            return self
+        try:
+            return obj.__dict__[self._slot]
+        except KeyError:
+            raise AttributeError(self._slot) from None
+
+    def __set__(self, obj, value):
+        pass
+
+
+def _pin(obj, **values) -> None:
+    for name, value in values.items():
+        obj.__dict__["_pin_" + name] = value
+
+
+class _DelegateToInner:
+    """Attribute fallback to the wrapped env, as the reference's restore
+    wrappers do (active_perception_env.py:206-210)."""
+
+    def __getattr__(self, item):
+        try:
+            return super().__getattribute__(item)
+        except AttributeError:
+            return getattr(self.env, item)
+
+
+def _compose_step(env, full_action, *, batch_shape, merge_info):
+    """The active-perception step template, shared by both env variants.
+
+    Runs ``env._step``, evaluates the prediction loss, and folds it into
+    the reward (``base_reward - loss``) and the info dict. The two
+    observable differences between the reference's single and vector
+    templates are parameters here:
+
+    - ``batch_shape``: ``()`` for single envs, ``(num_envs,)`` for vector
+      envs (loss broadcasting).
+    - ``merge_info``: the single template REBUILDS info from scratch,
+      discarding ``_step``'s own keys (active_perception_env.py:101-121);
+      the vector template keeps them and only overlays the AP keys
+      (active_perception_vector_env.py:84-111).
+    """
+    prediction = full_action["prediction"]
+    obs, base_reward, terminated, truncated, step_info, target = env._step(
+        full_action["action"], prediction
+    )
+    loss = env.loss_fn(prediction, target, batch_shape)
+    ap_info = {
+        "base_reward": base_reward,
+        "prediction": {"target": target, "loss": loss},
+    }
+    info = {**step_info, **ap_info} if merge_info else ap_info
+    return obs, base_reward - loss, terminated, truncated, info
+
+
+# ---------------------------------------------------------------------------
+# Single-env classes (behavioral spec: active_perception_env.py)
+
+
 class BaseActivePerceptionEnv(gym.Env, ABC):
     """gym.Env + loss_fn/prediction spaces (active_perception_env.py:71-88).
     Subclasses set ``action_space`` (an ActivePerceptionActionSpace),
@@ -226,18 +225,13 @@ class BaseActivePerceptionEnv(gym.Env, ABC):
     prediction_target_space: gym.Space
     loss_fn: Any
 
-    @property
-    def prediction_space(self):
-        return self.action_space["prediction"]
-
-    @property
-    def inner_action_space(self):
-        return self.action_space["action"]
+    prediction_space = _subspace("action_space", "prediction")
+    inner_action_space = _subspace("action_space", "action")
 
 
 class ActivePerceptionEnv(BaseActivePerceptionEnv, ABC):
-    """Template-method step(): reward = base_reward - loss, info REBUILT as
-    {"base_reward", "prediction": {"target", "loss"}}
+    """Single-env step template: reward = base_reward - loss, info REBUILT
+    as {"base_reward", "prediction": {"target", "loss"}}
     (active_perception_env.py:90-121)."""
 
     @abstractmethod
@@ -245,15 +239,7 @@ class ActivePerceptionEnv(BaseActivePerceptionEnv, ABC):
         """-> (obs, base_reward, terminated, truncated, info, pred_target)"""
 
     def step(self, action):
-        obs, base_reward, terminated, truncated, info, target = self._step(
-            action["action"], action["prediction"]
-        )
-        loss = self.loss_fn(action["prediction"], target, ())
-        info = {
-            "base_reward": base_reward,
-            "prediction": {"target": target, "loss": loss},
-        }
-        return obs, base_reward - loss, terminated, truncated, info
+        return _compose_step(self, action, batch_shape=(), merge_info=False)
 
 
 class ActivePerceptionWrapper(gym.Wrapper, BaseActivePerceptionEnv):
@@ -261,70 +247,62 @@ class ActivePerceptionWrapper(gym.Wrapper, BaseActivePerceptionEnv):
     ``_loss_fn`` / ``_prediction_target_space`` slots
     (active_perception_env.py:124-166)."""
 
+    loss_fn = _fallthrough("loss_fn")
+    prediction_target_space = _fallthrough("prediction_target_space")
+
     def __init__(self, env):
-        env = ensure_active_perception_env(env)
-        self._prediction_target_space = None
         self._loss_fn = None
-        super().__init__(env)
+        self._prediction_target_space = None
+        super().__init__(ensure_active_perception_env(env))
 
-    @property
-    def loss_fn(self):
-        return self._loss_fn if self._loss_fn is not None else self.env.loss_fn
 
-    @property
-    def prediction_target_space(self):
-        if self._prediction_target_space is not None:
-            return self._prediction_target_space
-        return self.env.prediction_target_space
+def _unwrap_chain(env, wrapper_types):
+    """Iterate an env and every env below it in its wrapper stack."""
+    while True:
+        yield env
+        if not isinstance(env, wrapper_types):
+            return
+        env = env.env
 
 
 def find_loss_and_pred_space(env):
-    """Dig through gym wrappers to the AP env
-    (active_perception_env.py:169-180)."""
-    if _is_ap(env):
-        return env.loss_fn, env.prediction_target_space
-    if isinstance(env, gym.Wrapper):
-        return find_loss_and_pred_space(env.env)
+    """Walk a (possibly foreign) gym wrapper stack down to the first layer
+    exposing the AP surface (active_perception_env.py:169-180)."""
+    for layer in _unwrap_chain(env, gym.Wrapper):
+        if _is_ap(layer):
+            return layer.loss_fn, layer.prediction_target_space
     raise NoActivePerceptionEnvError(
         "The environment does not contain an ActivePerceptionEnv"
     )
 
 
-class ActivePerceptionRestoreWrapper(gym.Wrapper, BaseActivePerceptionEnv):
+class ActivePerceptionRestoreWrapper(
+    _DelegateToInner, gym.Wrapper, BaseActivePerceptionEnv
+):
     """Re-surfaces loss_fn/pred space found deeper in a foreign wrapper
-    stack (active_perception_env.py:183-210). Like the reference, the
-    action space resolves to the inner env's via attribute fallback (its
-    ``action_space`` property reads a never-assigned private attr, :199-200,
-    so the __getattr__ fallback is what actually runs)."""
+    stack (active_perception_env.py:183-210). The reference's own
+    ``action_space`` property is broken (reads a never-assigned private
+    attr, :199-200) and effectively resolves to the inner env through its
+    ``__getattr__``; here gym.Wrapper's default space passthrough gives the
+    same resolution without the dead property."""
+
+    loss_fn = _pinned()
+    prediction_target_space = _pinned()
 
     def __init__(self, env):
         super().__init__(env)
-        self.__loss_fn, self.__pred_target_space = find_loss_and_pred_space(env)
-
-    @property
-    def loss_fn(self):
-        return self.__loss_fn
-
-    @property
-    def prediction_target_space(self):
-        return self.__pred_target_space
-
-    def __getattr__(self, item):
-        try:
-            return super().__getattribute__(item)
-        except AttributeError:
-            return getattr(self.env, item)
+        loss_fn, target_space = find_loss_and_pred_space(env)
+        _pin(self, loss_fn=loss_fn, prediction_target_space=target_space)
 
 
-class PseudoActivePerceptionWrapper(gym.Wrapper, BaseActivePerceptionEnv):
-    """Converts a plain gym env: ZeroLossFn, empty Tuple prediction spaces,
-    base_reward/prediction info injection (active_perception_env.py:213-248)."""
+class _PseudoPredictionChannel:
+    """Shared plumbing for the pseudo wrappers: grafts a trivial
+    (empty-Tuple, zero-loss) prediction channel onto a plain gymnasium env
+    and injects the AP info keys (active_perception_env.py:213-248,
+    active_perception_vector_env.py:173-212)."""
 
-    def __init__(self, env):
-        super().__init__(env)
-        self.action_space = ActivePerceptionActionSpace(
-            self.env.action_space, gym.spaces.Tuple(())
-        )
+    def _graft_prediction_channel(self, loss_shape: tuple) -> None:
+        self._zero_loss_shape = loss_shape
         self.prediction_target_space = gym.spaces.Tuple(())
         self.loss_fn = zero_loss_fn()
 
@@ -333,34 +311,56 @@ class PseudoActivePerceptionWrapper(gym.Wrapper, BaseActivePerceptionEnv):
         info["prediction"] = {"target": ()}
         return obs, info
 
-    def step(self, action):
+    def _pseudo_step(self, action):
         obs, reward, terminated, truncated, info = self.env.step(action["action"])
         info.update(
-            {
-                "base_reward": reward,
-                "prediction": {
-                    "target": (),
-                    "loss": np.zeros((), dtype=np.float32),
-                },
-            }
+            base_reward=reward,
+            prediction={
+                "target": (),
+                "loss": np.zeros(self._zero_loss_shape, dtype=np.float32),
+            },
         )
+        return obs, reward, terminated, truncated, info
+
+
+class PseudoActivePerceptionWrapper(
+    _PseudoPredictionChannel, gym.Wrapper, BaseActivePerceptionEnv
+):
+    """Converts a plain gym env: ZeroLossFn, empty Tuple prediction spaces,
+    base_reward/prediction info injection (active_perception_env.py:213-248)."""
+
+    def __init__(self, env):
+        gym.Wrapper.__init__(self, env)
+        self.action_space = ActivePerceptionActionSpace(
+            self.env.action_space, gym.spaces.Tuple(())
+        )
+        self._graft_prediction_channel(())
+
+    def step(self, action):
+        obs, reward, terminated, truncated, info = self._pseudo_step(action)
         return obs, float(reward), terminated, truncated, info
 
 
-def ensure_active_perception_env(env):
-    """Dispatch: passthrough -> RestoreWrapper -> PseudoWrapper
-    (active_perception_env.py:251-258)."""
-    if _is_ap(env):
+def _ensure(env, native_check, restore_cls, pseudo_cls):
+    """The reference's three-way dispatch: passthrough -> Restore (digs
+    foreign wrapper stacks) -> Pseudo (plain gym env)
+    (active_perception_env.py:251-258, ..._vector_env.py:311-320)."""
+    if native_check(env):
         return env
     try:
-        return ActivePerceptionRestoreWrapper(env)
+        return restore_cls(env)
     except NoActivePerceptionEnvError:
-        pass
-    return PseudoActivePerceptionWrapper(env)
+        return pseudo_cls(env)
+
+
+def ensure_active_perception_env(env):
+    return _ensure(
+        env, _is_ap, ActivePerceptionRestoreWrapper, PseudoActivePerceptionWrapper
+    )
 
 
 # ---------------------------------------------------------------------------
-# Vector mirrors (active_perception_vector_env.py)
+# Vector classes (behavioral spec: active_perception_vector_env.py)
 
 
 class BaseActivePerceptionVectorEnv(gym.vector.VectorEnv, ABC):
@@ -368,155 +368,111 @@ class BaseActivePerceptionVectorEnv(gym.vector.VectorEnv, ABC):
     single_prediction_target_space: gym.Space
     loss_fn: Any
 
-    @property
-    def prediction_space(self):
-        return self.action_space["prediction"]
-
-    @property
-    def inner_action_space(self):
-        return self.action_space["action"]
-
-    @property
-    def single_prediction_space(self):
-        return self.single_action_space["prediction"]
-
-    @property
-    def single_inner_action_space(self):
-        return self.single_action_space["action"]
+    prediction_space = _subspace("action_space", "prediction")
+    inner_action_space = _subspace("action_space", "action")
+    single_prediction_space = _subspace("single_action_space", "prediction")
+    single_inner_action_space = _subspace("single_action_space", "action")
 
 
 class ActivePerceptionVectorEnv(BaseActivePerceptionVectorEnv, ABC):
-    """Vector step template: same reward composition but info.UPDATE — the
-    env's own info keys survive (active_perception_vector_env.py:84-111;
-    the single-env template replaces instead, an observable asymmetry)."""
+    """Vector step template: same reward composition but the env's own info
+    keys survive (active_perception_vector_env.py:84-111; the single-env
+    template replaces instead — an observable asymmetry, see _compose_step)."""
 
     @abstractmethod
     def _step(self, action, prediction):
         """-> (obs, base_reward, terminated, truncated, info, pred_target)"""
 
     def step(self, action):
-        obs, base_reward, terminated, truncated, info, target = self._step(
-            action["action"], action["prediction"]
+        return _compose_step(
+            self, action, batch_shape=(self.num_envs,), merge_info=True
         )
-        loss = self.loss_fn(action["prediction"], target, (self.num_envs,))
-        info.update(
-            {
-                "base_reward": base_reward,
-                "prediction": {"target": target, "loss": loss},
-            }
-        )
-        return obs, base_reward - loss, terminated, truncated, info
 
 
 class ActivePerceptionVectorWrapper(
     gym.vector.VectorWrapper, BaseActivePerceptionVectorEnv
 ):
+    loss_fn = _fallthrough("loss_fn")
+    prediction_target_space = _fallthrough("prediction_target_space")
+    single_prediction_target_space = _fallthrough("single_prediction_target_space")
+
     def __init__(self, env):
-        env = ensure_active_perception_vector_env(env)
+        self._loss_fn = None
         self._prediction_target_space = None
         self._single_prediction_target_space = None
-        self._loss_fn = None
-        super().__init__(env)
+        super().__init__(ensure_active_perception_vector_env(env))
 
-    @property
-    def loss_fn(self):
-        return self._loss_fn if self._loss_fn is not None else self.env.loss_fn
 
-    @property
-    def prediction_target_space(self):
-        if self._prediction_target_space is not None:
-            return self._prediction_target_space
-        return self.env.prediction_target_space
-
-    @property
-    def single_prediction_target_space(self):
-        if self._single_prediction_target_space is not None:
-            return self._single_prediction_target_space
-        return self.env.single_prediction_target_space
+@contextmanager
+def _borrow_sub_env(env):
+    """Yield a representative single sub-env of a gymnasium vector env, or
+    None if this layer has no inspectable sub-envs. SyncVectorEnv lends
+    envs[0]; AsyncVectorEnv sub-envs live in worker processes, so a
+    throwaway env is built from env_fns[0] and closed again
+    (reference behavior, active_perception_vector_env.py:231-247)."""
+    if isinstance(env, gym.vector.SyncVectorEnv):
+        yield env.envs[0]
+    elif isinstance(env, gym.vector.AsyncVectorEnv):
+        sub = env.env_fns[0]()
+        try:
+            yield sub
+        finally:
+            sub.close()
+    else:
+        yield None
 
 
 def find_loss_and_pred_space_vec(env):
-    """Vector variant; understands SyncVectorEnv (inspects envs[0]) and
-    AsyncVectorEnv (instantiates a throwaway env from env_fns[0])
-    (active_perception_vector_env.py:216-250)."""
-    if _is_ap(env) and hasattr(env, "single_prediction_target_space"):
-        return (
-            env.loss_fn,
-            env.single_prediction_target_space,
-            env.prediction_target_space,
-        )
-    if isinstance(env, gym.vector.VectorWrapper):
-        return find_loss_and_pred_space_vec(env.env)
-    if isinstance(env, gym.vector.SyncVectorEnv):
-        loss_fn, single = find_loss_and_pred_space(env.envs[0])
-        return loss_fn, single, gym.vector.utils.batch_space(single, env.num_envs)
-    if isinstance(env, gym.vector.AsyncVectorEnv):
-        dummy = env.env_fns[0]()
-        try:
-            loss_fn, single = find_loss_and_pred_space(dummy)
-        finally:
-            dummy.close()
-        return loss_fn, single, gym.vector.utils.batch_space(single, env.num_envs)
+    """Vector variant of the AP-surface search: walks VectorWrapper stacks
+    and, on reaching a Sync/AsyncVectorEnv of single envs, continues the
+    search in a borrowed sub-env and batches the resulting target space
+    (active_perception_vector_env.py:215-251)."""
+    for layer in _unwrap_chain(env, gym.vector.VectorWrapper):
+        if _is_vec_ap(layer):
+            return (
+                layer.loss_fn,
+                layer.single_prediction_target_space,
+                layer.prediction_target_space,
+            )
+        with _borrow_sub_env(layer) as sub:
+            if sub is not None:
+                loss_fn, single = find_loss_and_pred_space(sub)
+                return (
+                    loss_fn,
+                    single,
+                    gym.vector.utils.batch_space(single, layer.num_envs),
+                )
     raise NoActivePerceptionEnvError(
         "The environment does not contain an ActivePerceptionEnv"
     )
 
 
 class ActivePerceptionVectorRestoreWrapper(
-    gym.vector.VectorWrapper, BaseActivePerceptionVectorEnv
+    _DelegateToInner, gym.vector.VectorWrapper, BaseActivePerceptionVectorEnv
 ):
-    """Rebuilds ActivePerceptionActionSpace from the batched Dict and
-    re-surfaces loss/pred spaces (active_perception_vector_env.py:254-308)."""
+    """Re-surfaces the AP surface of a foreign vector stack and re-tags the
+    batched Dict action spaces as ActivePerceptionActionSpaces
+    (active_perception_vector_env.py:254-308)."""
+
+    loss_fn = _pinned()
+    action_space = _pinned()
+    single_action_space = _pinned()
+    prediction_target_space = _pinned()
+    single_prediction_target_space = _pinned()
 
     def __init__(self, env):
         super().__init__(env)
-        (
-            self.__loss_fn,
-            self.__single_pred_target_space,
-            self.__pred_target_space,
-        ) = find_loss_and_pred_space_vec(env)
-        act = self.env.action_space
-        self.__action_space = ActivePerceptionActionSpace(
-            act["action"], act["prediction"], seed=act._np_random
+        loss_fn, single_target, target = find_loss_and_pred_space_vec(env)
+        _pin(
+            self,
+            loss_fn=loss_fn,
+            prediction_target_space=target,
+            single_prediction_target_space=single_target,
+            action_space=ActivePerceptionActionSpace.from_dict(env.action_space),
+            single_action_space=ActivePerceptionActionSpace.from_dict(
+                env.single_action_space
+            ),
         )
-        single = self.env.single_action_space
-        self.__single_action_space = ActivePerceptionActionSpace(
-            single["action"], single["prediction"], seed=single._np_random
-        )
-
-    @property
-    def loss_fn(self):
-        return self.__loss_fn
-
-    @property
-    def action_space(self):
-        return self.__action_space
-
-    @action_space.setter
-    def action_space(self, _):  # gym.vector.VectorWrapper assigns in init
-        pass
-
-    @property
-    def single_action_space(self):
-        return self.__single_action_space
-
-    @single_action_space.setter
-    def single_action_space(self, _):
-        pass
-
-    @property
-    def prediction_target_space(self):
-        return self.__pred_target_space
-
-    @property
-    def single_prediction_target_space(self):
-        return self.__single_pred_target_space
-
-    def __getattr__(self, item):
-        try:
-            return super().__getattribute__(item)
-        except AttributeError:
-            return getattr(self.env, item)
 
     def __del__(self):
         # Mirrors the reference's guard against gymnasium's GC bug
@@ -525,12 +481,12 @@ class ActivePerceptionVectorRestoreWrapper(
 
 
 class PseudoActivePerceptionVectorWrapper(
-    gym.vector.VectorWrapper, BaseActivePerceptionVectorEnv
+    _PseudoPredictionChannel, gym.vector.VectorWrapper, BaseActivePerceptionVectorEnv
 ):
     """(active_perception_vector_env.py:173-212)."""
 
     def __init__(self, env):
-        super().__init__(env)
+        gym.vector.VectorWrapper.__init__(self, env)
         self.single_action_space = ActivePerceptionActionSpace(
             self.env.single_action_space, gym.spaces.Tuple(())
         )
@@ -538,36 +494,18 @@ class PseudoActivePerceptionVectorWrapper(
             self.env.action_space, gym.spaces.Tuple(())
         )
         self.single_prediction_target_space = gym.spaces.Tuple(())
-        self.prediction_target_space = gym.spaces.Tuple(())
-        self.loss_fn = zero_loss_fn()
+        self._graft_prediction_channel((self.num_envs,))
 
-    def reset(self, *, seed=None, options=None):
-        obs, info = self.env.reset(seed=seed, options=options)
-        info["prediction"] = {"target": ()}
-        return obs, info
-
-    def step(self, action):
-        obs, reward, terminated, truncated, info = self.env.step(action["action"])
-        info.update(
-            {
-                "base_reward": reward,
-                "prediction": {
-                    "target": (),
-                    "loss": np.zeros(self.num_envs, dtype=np.float32),
-                },
-            }
-        )
-        return obs, reward, terminated, truncated, info
+    step = _PseudoPredictionChannel._pseudo_step
 
 
 def ensure_active_perception_vector_env(env):
-    if _is_ap(env) and hasattr(env, "single_prediction_target_space"):
-        return env
-    try:
-        return ActivePerceptionVectorRestoreWrapper(env)
-    except NoActivePerceptionEnvError:
-        pass
-    return PseudoActivePerceptionVectorWrapper(env)
+    return _ensure(
+        env,
+        _is_vec_ap,
+        ActivePerceptionVectorRestoreWrapper,
+        PseudoActivePerceptionVectorWrapper,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -575,36 +513,55 @@ def ensure_active_perception_vector_env(env):
 # active_regression_env.py:29-110)
 
 
+def _install_ap_contract(
+    env, inner_space, prediction_space, target_space, loss_fn, num_envs=None
+):
+    """Wire the AP attributes of a task-family subclass. With ``num_envs``
+    the batched twins are derived through gym's batch_space machinery
+    (which the custom registrations in gym_spaces keep subclass-correct)."""
+    ap_space = ActivePerceptionActionSpace(inner_space, prediction_space)
+    if num_envs is None:
+        env.action_space = ap_space
+        env.prediction_target_space = target_space
+    else:
+        env.num_envs = num_envs
+        env.single_action_space = ap_space
+        env.action_space = gym.vector.utils.batch_space(ap_space, num_envs)
+        env.single_prediction_target_space = target_space
+        env.prediction_target_space = gym.vector.utils.batch_space(
+            target_space, num_envs
+        )
+    env.loss_fn = loss_fn
+
+
+def _classification_contract(num_classes):
+    """Logit prediction over K classes, Discrete target, normalized
+    cross-entropy (active_classification_env.py:28-39)."""
+    return (
+        LogitSpace(-np.inf, np.inf, shape=(num_classes,)),
+        gym.spaces.Discrete(num_classes),
+        cross_entropy_loss_fn(num_classes).normalized,
+    )
+
+
 class ActiveClassificationEnv(ActivePerceptionEnv, ABC):
     def __init__(self, num_classes: int, inner_action_space: gym.Space):
-        self.action_space = ActivePerceptionActionSpace(
-            inner_action_space,
-            LogitSpace(-np.inf, np.inf, shape=(num_classes,)),
-        )
-        self.prediction_target_space = gym.spaces.Discrete(num_classes)
-        self.loss_fn = cross_entropy_loss_fn(num_classes).normalized
+        pred, target, loss = _classification_contract(num_classes)
+        _install_ap_contract(self, inner_action_space, pred, target, loss)
 
 
 class ActiveClassificationVectorEnv(ActivePerceptionVectorEnv, ABC):
     def __init__(self, num_envs, num_classes, single_inner_action_space):
-        self.num_envs = num_envs
-        self.single_action_space = ActivePerceptionActionSpace(
-            single_inner_action_space,
-            LogitSpace(-np.inf, np.inf, shape=(num_classes,)),
+        pred, target, loss = _classification_contract(num_classes)
+        _install_ap_contract(
+            self, single_inner_action_space, pred, target, loss, num_envs=num_envs
         )
-        self.action_space = gym.vector.utils.batch_space(
-            self.single_action_space, num_envs
-        )
-        self.single_prediction_target_space = gym.spaces.Discrete(num_classes)
-        self.prediction_target_space = gym.spaces.MultiDiscrete(
-            [num_classes] * num_envs
-        )
-        self.loss_fn = cross_entropy_loss_fn(num_classes).normalized
 
 
-def _regression_loss_and_space(target_dim, low, high, target_std=None):
-    """(high - low)/sqrt(12) uniform-assumption normalization, with the
-    reference's warning for unbounded spaces (active_regression_env.py:29-52)."""
+def _regression_contract(target_dim, low, high, target_std=None):
+    """Box prediction == target space; MSE normalized under the
+    (high - low)/sqrt(12) uniform assumption, with the reference's warning
+    for unbounded spaces (active_regression_env.py:29-52)."""
     space = gym.spaces.Box(low=low, high=high, shape=(target_dim,))
     if target_std is None and np.all(np.isfinite(space.low)) and np.all(
         np.isfinite(space.high)
@@ -620,7 +577,7 @@ def _regression_loss_and_space(target_dim, low, high, target_std=None):
             "Prediction target space is unbounded, and target_std is not "
             "provided. MSE loss will not be normalized."
         )
-    return loss, space
+    return space, space, loss
 
 
 class ActiveRegressionEnv(ActivePerceptionEnv, ABC):
@@ -632,12 +589,10 @@ class ActiveRegressionEnv(ActivePerceptionEnv, ABC):
         prediction_high=1.0,
         target_std=None,
     ):
-        loss, space = _regression_loss_and_space(
+        pred, target, loss = _regression_contract(
             target_dim, prediction_low, prediction_high, target_std
         )
-        self.action_space = ActivePerceptionActionSpace(inner_action_space, space)
-        self.prediction_target_space = space
-        self.loss_fn = loss
+        _install_ap_contract(self, inner_action_space, pred, target, loss)
 
 
 class ActiveRegressionVectorEnv(ActivePerceptionVectorEnv, ABC):
@@ -650,19 +605,12 @@ class ActiveRegressionVectorEnv(ActivePerceptionVectorEnv, ABC):
         prediction_high=1.0,
         target_std=None,
     ):
-        self.num_envs = num_envs
-        loss, space = _regression_loss_and_space(
+        pred, target, loss = _regression_contract(
             target_dim, prediction_low, prediction_high, target_std
         )
-        self.single_action_space = ActivePerceptionActionSpace(
-            single_inner_action_space, space
+        _install_ap_contract(
+            self, single_inner_action_space, pred, target, loss, num_envs=num_envs
         )
-        self.action_space = gym.vector.utils.batch_space(
-            self.single_action_space, num_envs
-        )
-        self.single_prediction_target_space = space
-        self.prediction_target_space = gym.vector.utils.batch_space(space, num_envs)
-        self.loss_fn = loss
 
 
 # ---------------------------------------------------------------------------

@@ -282,6 +282,14 @@ class VectorAPEnv:
                 )
             else:
                 pred_target = r.prediction_target
+            if set(reset_info) != set(r.info):
+                # Key sets are static at trace time, so an env-author bug
+                # fails loudly here instead of silently dropping reset info
+                # (mirrors apx/compat/gym_env.py's autoreset guard).
+                raise ValueError(
+                    "autoreset info keys differ from step info keys: "
+                    f"{sorted(reset_info)} vs {sorted(r.info)}"
+                )
             info = mask_select(
                 reset_mask,
                 {
@@ -289,7 +297,7 @@ class VectorAPEnv:
                     **{k: v for k, v in r.info.items() if k not in reset_info},
                 },
                 r.info,
-            ) if set(reset_info) == set(r.info) else r.info
+            )
             return obs, new_inner, base_reward, terminated, truncated, pred_target, info
 
         def no_reset_branch():

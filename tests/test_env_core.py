@@ -182,3 +182,59 @@ def test_box_sample_gymnasium_conventions():
         Box(low=-np.inf, high=2.0, shape=(2000,)).sample(jax.random.PRNGKey(3))
     )
     assert (s4 <= 2).all() and 0.8 < (2 - s4).mean() < 1.2
+
+
+def test_vector_autoreset_info_key_mismatch_raises():
+    """The vmap vector path fails loudly when an env's reset info and step
+    info carry different key sets (round-2 verdict: the silent fallback at
+    apx/core/env.py turned an env-author bug into dropped reset info).
+    Key sets are static at trace time, so the error surfaces on the first
+    step call (lax.cond traces both branches)."""
+    import pytest
+    from flax import struct
+
+    from apx.core.env import APEnv, APStepResult
+    from apx.core.losses import MSELossFn
+    from apx.core.spaces import Box
+
+    class MismatchState(struct.PyTreeNode):
+        x: jax.Array
+
+    class MismatchEnv(APEnv):
+        def default_params(self, **kw):
+            return ()
+
+        def observation_space(self, params):
+            return Box(low=-1.0, high=1.0, shape=(1,))
+
+        def inner_action_space(self, params):
+            return Box(low=-1.0, high=1.0, shape=(1,))
+
+        def prediction_space(self, params):
+            return Box(low=-1.0, high=1.0, shape=(1,))
+
+        def prediction_target_space(self, params):
+            return Box(low=-1.0, high=1.0, shape=(1,))
+
+        def loss_fn(self, params):
+            return MSELossFn()
+
+        def reset_env(self, key, params):
+            s = MismatchState(x=jnp.zeros(1))
+            return s.x, s, {"reset_only_key": jnp.zeros(())}
+
+        def step_env(self, key, state, action, prediction, params):
+            s = MismatchState(x=state.x)
+            return APStepResult(
+                obs=s.x, state=s, base_reward=jnp.float32(0),
+                terminated=jnp.ones((), bool), truncated=jnp.zeros((), bool),
+                info={"step_only_key": jnp.zeros(())},
+                prediction_target=jnp.zeros(1),
+            )
+
+    venv = vmap_vector_env(MismatchEnv(), 2)
+    params = venv.env.default_params()
+    _, state, _ = venv.reset(jax.random.PRNGKey(0), params)
+    act = {"action": jnp.zeros((2, 1)), "prediction": jnp.zeros((2, 1))}
+    with pytest.raises(ValueError, match="autoreset info keys differ"):
+        venv.step(jax.random.PRNGKey(1), state, act, params)
