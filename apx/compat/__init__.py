@@ -43,6 +43,20 @@ def _entry(env_id: str):
     return reg[env_id]
 
 
+def _mk_spec(env_id: str, entry):
+    """EnvSpec with the effective episode horizon. The reference reports
+    step_limit through spec for every family — image envs via a spec setter
+    (image_classification.py:151-159), LIDAR/LightDark via TimeLimit's spec
+    patching (time_limit.py:154-166)."""
+    from gymnasium.envs.registration import EnvSpec
+
+    return EnvSpec(
+        id=env_id,
+        entry_point="apx.compat:make",
+        max_episode_steps=entry.step_limit,
+    )
+
+
 def make(env_id: str, rng: str = "reference", log_wrapper: bool = True, **overrides):
     if overrides.pop("render_mode", "rgb_array") != "rgb_array":
         raise ValueError("only render_mode='rgb_array' is supported")
@@ -63,6 +77,7 @@ def make(env_id: str, rng: str = "reference", log_wrapper: bool = True, **overri
             rng=rng,
             sparse=entry.sparse,
         )
+    gym_env.spec = _mk_spec(env_id, entry)
     if log_wrapper and entry.metrics == "classification":
         gym_env = ClassificationLogWrapper(gym_env)
     elif log_wrapper and entry.metrics == "regression":
@@ -103,6 +118,7 @@ def make_vec(
             else False
         )
         gym_env = GymHideAndSeekWrapper(gym_env, mask_prediction=mask)
+    gym_env.spec = _mk_spec(env_id, entry)
     if log_wrapper and entry.metrics == "classification":
         gym_env = VectorClassificationLogWrapper(gym_env)
     elif log_wrapper and entry.metrics == "regression":

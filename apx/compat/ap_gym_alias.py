@@ -107,7 +107,11 @@ def _build_loss_classes():
 def _make_user_registry(apc, gym_classes):
     """Minimal user-facing register/make machinery mirroring
     registration.py:87-142: custom entry points become AP envs via
-    ensure_*, and every id gets a '<name minus -v*>-sparse-v*' twin."""
+    ensure_*, and every id gets a '<name>-sparse' twin at the same
+    version (derived via gymnasium's parse_env_id/get_env_id, like the
+    reference — so MyEnv-v3 gets MyEnv-sparse-v3)."""
+    from gymnasium.envs.registration import get_env_id, parse_env_id
+
     user_registry: dict[str, dict] = {}
 
     def register(id: str, entry_point=None, kwargs=None, additional_wrappers=(), **_):
@@ -116,6 +120,17 @@ def _make_user_registry(apc, gym_classes):
             "kwargs": dict(kwargs or {}),
             "wrappers": tuple(additional_wrappers),
         }
+
+    def _sparse_base_id(env_id: str) -> str | None:
+        """Registered base id for a '<name>-sparse' id of any version."""
+        try:
+            ns, name, version = parse_env_id(env_id)
+        except Exception:
+            return None
+        if not name.endswith("-sparse"):
+            return None
+        base = get_env_id(ns, name[: -len("-sparse")], version)
+        return base if base in user_registry else None
 
     def _build_user(spec, extra_kwargs):
         env = spec["entry_point"](**{**spec["kwargs"], **extra_kwargs})
@@ -134,22 +149,29 @@ def _make_user_registry(apc, gym_classes):
         if env_id in user_registry:
             env = _build_user(user_registry[env_id], kwargs)
             return gym_classes.ensure_active_perception_env(env)
-        if env_id.endswith("-sparse-v0") and (
-            env_id.replace("-sparse", "") in user_registry
-        ):
-            env = _build_user(user_registry[env_id.replace("-sparse", "")], kwargs)
+        base_id = _sparse_base_id(env_id)
+        if base_id is not None:
+            env = _build_user(user_registry[base_id], kwargs)
             return gym_classes.SparsifyWrapper(env)
         return apc.make(env_id, **kwargs)
 
     def make_vec(env_id: str, num_envs: int = 1, **kwargs):
-        if env_id in user_registry:
-            import gymnasium as gym
+        import gymnasium as gym
 
-            spec = user_registry[env_id]
-            env = gym.vector.SyncVectorEnv(
+        def _sync_vec(spec):
+            return gym.vector.SyncVectorEnv(
                 [lambda: _build_user(spec, kwargs) for _ in range(num_envs)]
             )
+
+        if env_id in user_registry:
+            env = _sync_vec(user_registry[env_id])
             return gym_classes.ensure_active_perception_vector_env(env)
+        base_id = _sparse_base_id(env_id)
+        if base_id is not None:
+            env = gym_classes.ensure_active_perception_vector_env(
+                _sync_vec(user_registry[base_id])
+            )
+            return gym_classes.SparsifyVectorWrapper(env)
         return apc.make_vec(env_id, num_envs=num_envs, **kwargs)
 
     return register, make, make_vec
@@ -219,9 +241,63 @@ def install(name: str = "ap_gym") -> types.ModuleType:
         return obj
 
     mod.idoc = idoc
+    # Drop stale submodule entries (e.g. from a previously-imported real
+    # reference) so the alias tree below is authoritative for `name`.
+    for stale in [k for k in sys.modules if k.startswith(name + ".")]:
+        del sys.modules[stale]
+    _materialize_envs_tree(mod)
     mod.__apx_alias__ = True  # lets tooling tell the alias from the real thing
     sys.modules[name] = mod
     return mod
+
+
+def _materialize_envs_tree(mod: types.ModuleType) -> None:
+    """Register the reference's ``ap_gym.envs.*`` submodule surface so
+    reference-style imports (``from ap_gym.envs.image import
+    CircleSquareDataset``) work on the alias. Export lists mirror
+    /root/reference/ap_gym/envs/{__init__,image/__init__,dataset/__init__,
+    floor_map/__init__}.py."""
+    from ..data.stream import (
+        BufferedIterator,
+        DataLoader,
+        DatasetBatchIterator,
+        DatasetIterator,
+    )
+    from . import dataset_classes as DC
+    from .perception_module import ImagePerceptionConfig, ImagePerceptionModule
+
+    def _submodule(fullname: str, **attrs) -> types.ModuleType:
+        m = types.ModuleType(fullname)
+        for key, value in attrs.items():
+            setattr(m, key, value)
+        sys.modules[fullname] = m
+        return m
+
+    envs = _submodule(mod.__name__ + ".envs")
+    envs.dataset = _submodule(
+        envs.__name__ + ".dataset",
+        Dataset=DC.Dataset,
+        DataLoader=DataLoader,
+        DatasetIterator=DatasetIterator,
+        DatasetBatchIterator=DatasetBatchIterator,
+        BufferedIterator=BufferedIterator,
+    )
+    envs.image = _submodule(
+        envs.__name__ + ".image",
+        HuggingfaceImageClassificationDataset=DC.HuggingfaceImageClassificationDataset,
+        ImageClassificationDataset=DC.ImageClassificationDataset,
+        CircleSquareDataset=DC.CircleSquareDataset,
+        DoubleCircleSquareDataset=DC.DoubleCircleSquareDataset,
+        ImagePerceptionModule=ImagePerceptionModule,
+        ImagePerceptionConfig=ImagePerceptionConfig,
+    )
+    envs.floor_map = _submodule(
+        envs.__name__ + ".floor_map",
+        FloorMapDataset=DC.FloorMapDataset,
+        FloorMapDatasetRooms=DC.FloorMapDatasetRooms,
+        FloorMapDatasetMaze=DC.FloorMapDatasetMaze,
+    )
+    mod.envs = envs
 
 
 if "ap_gym" not in sys.modules:

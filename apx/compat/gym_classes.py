@@ -617,7 +617,7 @@ class ActiveRegressionVectorEnv(ActivePerceptionVectorEnv, ABC):
 # TimeLimit (time_limit.py:17-166)
 
 
-class TimeLimit(gym.Wrapper):
+class TimeLimit(gym.Wrapper, gym.utils.RecordConstructorArgs):
     def __init__(
         self,
         env: gym.Env,
@@ -625,15 +625,40 @@ class TimeLimit(gym.Wrapper):
         issue_termination: bool = False,
         observe_time_steps: bool | None = None,
     ):
-        super().__init__(env)
+        # Ctor args are recorded so gymnasium can reconstruct the wrapper
+        # from a spec (reference time_limit.py:49-54).
+        gym.utils.RecordConstructorArgs.__init__(
+            self,
+            max_episode_steps=max_episode_steps,
+            issue_termination=issue_termination,
+            observe_time_steps=observe_time_steps,
+        )
+        gym.Wrapper.__init__(self, env)
         self._max_episode_steps = int(max_episode_steps)
         self._issue_termination = bool(issue_termination)
         self._observe_time_steps = (
             issue_termination if observe_time_steps is None else bool(observe_time_steps)
         )
         self._elapsed_steps = None
+        self._cached_spec = None
         if self._observe_time_steps:
             self.observation_space = self._augmented_space(env.observation_space)
+
+    @property
+    def spec(self):
+        """env.spec with max_episode_steps patched to this wrapper's limit
+        (reference time_limit.py:154-166), so tooling that reads
+        spec.max_episode_steps sees the effective horizon."""
+        if self._cached_spec is not None:
+            return self._cached_spec
+        import copy
+
+        env_spec = self.env.spec
+        if env_spec is not None:
+            env_spec = copy.copy(env_spec)
+            env_spec.max_episode_steps = self._max_episode_steps
+        self._cached_spec = env_spec
+        return env_spec
 
     def _augmented_space(self, space):
         time_space = gym.spaces.Box(low=-1.0, high=1.0, shape=(), dtype=np.float32)

@@ -28,19 +28,23 @@ def load_reference_ap_gym():
     """
     import importlib
 
-    if "ap_gym" in sys.modules:
-        mod = sys.modules["ap_gym"]
-        if getattr(mod, "__apx_alias__", False):
-            # The apx drop-in alias auto-installs under this name; parity
-            # tests need the REAL reference — drop the alias and import it.
-            del sys.modules["ap_gym"]
-            for k in [k for k in sys.modules if k.startswith("ap_gym.")]:
-                del sys.modules[k]
-        else:
-            assert getattr(mod, "__file__", "") and "/root/reference" in mod.__file__, (
-                "sys.modules['ap_gym'] is neither the reference nor the alias"
-            )
-            return mod
+    mod = sys.modules.get("ap_gym")
+    if mod is not None and getattr(mod, "__apx_alias__", False):
+        # The apx drop-in alias auto-installs under this name; parity
+        # tests need the REAL reference — drop the alias and import it.
+        del sys.modules["ap_gym"]
+        mod = None
+    if mod is None:
+        # Evict alias submodules too — including orphans (the alias's
+        # envs.* tree can outlive a popped top-level entry) — so a fresh
+        # reference import doesn't resolve against stale alias modules.
+        for k in [k for k in sys.modules if k.startswith("ap_gym.")]:
+            del sys.modules[k]
+    else:
+        assert getattr(mod, "__file__", "") and "/root/reference" in mod.__file__, (
+            "sys.modules['ap_gym'] is neither the reference nor the alias"
+        )
+        return mod
     if not os.path.isdir(os.path.join(REFERENCE_PATH, "ap_gym")):
         return None
     if REFERENCE_PATH not in sys.path:

@@ -72,14 +72,18 @@ def alias():
     from apx.compat.ap_gym_alias import install
 
     saved = sys.modules.get("ap_gym")
+    saved_subs = {
+        k: v for k, v in sys.modules.items() if k.startswith("ap_gym.")
+    }
     mod = install("ap_gym")
     yield mod
+    # Never leave the alias (or its envs.* submodule tree) behind: parity
+    # tests must see the real reference (or import it fresh).
+    for k in [k for k in sys.modules if k == "ap_gym" or k.startswith("ap_gym.")]:
+        del sys.modules[k]
     if saved is not None and not getattr(saved, "__apx_alias__", False):
         sys.modules["ap_gym"] = saved
-    else:
-        # Never leave an alias behind: parity tests must see the real
-        # reference (or import it fresh).
-        sys.modules.pop("ap_gym", None)
+        sys.modules.update(saved_subs)
 
 
 def test_alias_has_full_reference_export_list(alias):
@@ -289,3 +293,106 @@ def test_image_space_reference_ctor(alias):
     assert batched.shape == (3, 7, 5, 1) and batched.batch_shape == (3,)
     lg = alias.LogitSpace(-np.inf, np.inf, shape=(10,))
     assert gym.vector.utils.batch_space(lg, 2).shape == (2, 10)
+
+
+def test_envs_submodule_tree(alias):
+    """Reference-style submodule imports work on the alias: ap_gym.envs.image
+    / .dataset / .floor_map export the reference lists
+    (/root/reference/ap_gym/envs/{image,dataset,floor_map}/__init__.py)."""
+    from ap_gym.envs.dataset import (  # noqa: F401
+        BufferedIterator,
+        DataLoader,
+        Dataset,
+        DatasetBatchIterator,
+        DatasetIterator,
+    )
+    from ap_gym.envs.floor_map import (
+        FloorMapDataset,
+        FloorMapDatasetMaze,
+        FloorMapDatasetRooms,
+    )
+    from ap_gym.envs.image import (
+        CircleSquareDataset,
+        DoubleCircleSquareDataset,
+        HuggingfaceImageClassificationDataset,  # noqa: F401
+        ImageClassificationDataset,
+        ImagePerceptionConfig,
+        ImagePerceptionModule,
+    )
+
+    ds = CircleSquareDataset()
+    assert isinstance(ds, ImageClassificationDataset)
+    assert len(ds) == 2 * 28 * 28 and ds.num_classes == 2
+    img, label = ds[5]
+    assert img.shape == (28, 28, 1) and img.dtype == np.float32
+    imgs, labels = ds[[5, 9]]
+    assert imgs.shape == (2, 28, 28, 1) and labels.dtype == np.int32
+    assert len(DoubleCircleSquareDataset(image_shape=(15, 15))) > 0
+    maze = FloorMapDatasetMaze()
+    assert isinstance(maze, FloorMapDataset)
+    assert maze[3].shape == (21, 21) and maze[3].dtype == np.bool_
+    rooms = FloorMapDatasetRooms()
+    assert rooms[[1, 2]].shape == (2, 32, 32)
+    # Iterator draw order: one rng.integers(0, len) per draw.
+    it = DatasetIterator(ds, seed=11)
+    (img0, _), idx0 = next(it)
+    assert idx0 == np.random.default_rng(11).integers(0, len(ds))
+    # The module drives end-to-end on a submodule-imported dataset.
+    mod = ImagePerceptionModule(2, ImagePerceptionConfig(dataset=ds, prefetch=False))
+    mod.seed(0)
+    obs, info = mod.reset()
+    assert obs["glimpse"].shape == (2, 5, 5, 1)
+    obs, rew, term, trunc, info = mod.step(np.zeros((2, 2)), np.zeros(2))
+    assert rew.shape == (2,) and not term.any()
+    mod.close()
+
+
+def test_timelimit_spec_patching(alias):
+    """TimeLimit overrides spec.max_episode_steps and records ctor args
+    (reference time_limit.py:49-54, 154-166)."""
+    env = alias.make("LightDark-v0")  # registry applies TimeLimit(50)
+    assert env.spec is not None and env.spec.max_episode_steps == 50
+    # An explicit wrapper stack re-patches the value.
+    wrapped = alias.TimeLimit(env, max_episode_steps=7)
+    assert wrapped.spec.max_episode_steps == 7
+    assert wrapped.spec is wrapped.spec  # cached
+    assert env.spec.max_episode_steps == 50  # inner spec untouched
+    saved = getattr(wrapped, "_saved_kwargs", None)
+    assert saved is not None and saved["max_episode_steps"] == 7
+
+
+def test_sparse_twin_any_version(alias):
+    """User registrations get sparse twins at ANY version via
+    parse_env_id/get_env_id (registration.py:115-142), not just -v0."""
+
+    class MyEnv3(alias.ActiveRegressionEnv):
+        def __init__(self):
+            super().__init__(2, gym.spaces.Box(-1, 1, shape=(1,)))
+            self.observation_space = gym.spaces.Box(-1, 1, shape=(1,))
+
+        def reset(self, *, seed=None, options=None):
+            super().reset(seed=seed)
+            return np.zeros(1, np.float32), {}
+
+        def _step(self, action, prediction):
+            return (
+                np.zeros(1, np.float32), 1.0, True, False, {},
+                np.zeros(2, np.float32),
+            )
+
+    alias.register(id="MyEnv-v3", entry_point=MyEnv3)
+    sparse = alias.make("MyEnv-sparse-v3")
+    assert isinstance(sparse, alias.SparsifyWrapper)
+    sparse.reset(seed=0)
+    obs, reward, term, trunc, info = sparse.step(
+        {"action": np.zeros(1, np.float32), "prediction": np.zeros(2, np.float32)}
+    )
+    assert term and info["prediction"]["target"]["weight"] == 1.0
+    vec = alias.make_vec("MyEnv-sparse-v3", num_envs=2)
+    assert isinstance(vec, alias.SparsifyVectorWrapper)
+    vec.reset(seed=0)
+    obs, reward, term, trunc, info = vec.step(
+        {"action": np.zeros((2, 1), np.float32),
+         "prediction": np.zeros((2, 2), np.float32)}
+    )
+    assert term.all() and reward.shape == (2,)

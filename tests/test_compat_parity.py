@@ -414,18 +414,22 @@ def test_lidar_parity_oob_termination(ref_ap):
 # end-to-end through seeded episodes, fully offline.
 
 
-def _hf_fixture(channels, hw, names, n_train=48, n_test=16, seed=7):
+def _hf_fixture(
+    channels, hw, names, n_train=48, n_test=16, seed=7, image_key=None,
+    eval_split="test",
+):
     datasets = pytest.importorskip("datasets")
     import PIL.Image
 
     rng = np.random.default_rng(seed)
+    if image_key is None:
+        image_key = "image" if channels == 1 else "img"
     feats = datasets.Features(
         {
-            "image" if channels == 1 else "img": datasets.Image(),
+            image_key: datasets.Image(),
             "label": datasets.ClassLabel(names=list(names)),
         }
     )
-    key = "image" if channels == 1 else "img"
 
     def split(count, off):
         arrs = [
@@ -436,13 +440,15 @@ def _hf_fixture(channels, hw, names, n_train=48, n_test=16, seed=7):
             arrs = [a[..., 0] for a in arrs]
         return datasets.Dataset.from_dict(
             {
-                key: [PIL.Image.fromarray(a) for a in arrs],
+                image_key: [PIL.Image.fromarray(a) for a in arrs],
                 "label": [(i + off) % len(names) for i in range(count)],
             },
             features=feats,
         )
 
-    return datasets.DatasetDict({"train": split(n_train, 0), "test": split(n_test, 3)})
+    return datasets.DatasetDict(
+        {"train": split(n_train, 0), eval_split: split(n_test, 3)}
+    )
 
 
 @pytest.fixture()
@@ -464,7 +470,14 @@ def hf_patched(ref_ap, monkeypatch):
         "dog", "frog", "horse", "ship", "truck",
     ]
     cifar = _hf_fixture(3, (32, 32), cifar_names, seed=11)
-    table = {"mnist": mnist, "cifar10": cifar}
+    # TinyImageNet geometry: 200 classes, 64x64 RGB, eval split named
+    # "valid" (the registration maps split="test" -> "valid",
+    # reference registration.py:576-631).
+    tin = _hf_fixture(
+        3, (64, 64), [f"n{i:08d}" for i in range(200)], seed=13,
+        image_key="image", eval_split="valid",
+    )
+    table = {"mnist": mnist, "cifar10": cifar, "zh-plus/tiny-imagenet": tin}
 
     def fake_load(name, *a, **k):
         return table[name]
@@ -485,6 +498,9 @@ def hf_patched(ref_ap, monkeypatch):
         ("CIFAR10-c3-v0", 20),     # filter_labels remap chain
         ("MNISTLoc-v0", 40),       # localization: unique-target sampler on
                                    # real ingested images + target_glimpse
+        ("TinyImageNet-v0", 20),   # 200 classes, 64x64, 10x10 sensor
+        ("TinyImageNet-test-v0", 20),  # split="test" -> "valid" mapping
+        ("TinyImageNetLoc-v0", 40),    # localization chain at TIN geometry
     ],
 )
 def test_hf_env_golden_parity(ref_ap, hf_patched, env_id, steps):
