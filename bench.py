@@ -133,28 +133,46 @@ def make_lidar_maze(num_envs: int):
     return venv, params, 1_000_000.0
 
 
-def make_mnist(num_envs: int):
+def make_mnist(num_envs: int, bank_points: int | None = None):
     """MNIST 5x5-glimpse classification (synthetic bank when the HF cache
-    is absent; identical shapes/compute either way)."""
+    is absent; identical shapes/compute either way). bank_points=60000
+    reproduces the real train-split bank size (HF_DATASET_GEOMETRY)."""
     from apx.core.env import AutoResetMode, vmap_vector_env
     from apx.data.huggingface import load_hf_image_bank
     from apx.envs.image_classification import ImageClassificationEnv
 
-    env = ImageClassificationEnv(dataset=load_hf_image_bank("mnist", channels=1))
+    env = ImageClassificationEnv(
+        dataset=load_hf_image_bank("mnist", channels=1, num_points=bank_points)
+    )
     params = env.default_params()
     venv = vmap_vector_env(env, num_envs, AutoResetMode.LOCKSTEP)
     return venv, params, 2200.0
 
 
-def make_tin_loc(num_envs: int):
-    """TinyImageNetLoc: 64x64x3 images, 10x10 glimpse localization."""
+def make_tin_loc(num_envs: int, bank_points: int | None = None):
+    """TinyImageNetLoc: 64x64x3 images, 10x10 glimpse localization.
+    bank_points=100000 reproduces the real train split (~1.17 GiB uint8)."""
     from apx.core.env import AutoResetMode, vmap_vector_env
     from apx.data.huggingface import load_hf_image_bank
     from apx.envs.image_localization import ImageLocalizationEnv
 
     env = ImageLocalizationEnv(
-        dataset=load_hf_image_bank("zh-plus/tiny-imagenet"),
+        dataset=load_hf_image_bank("zh-plus/tiny-imagenet", num_points=bank_points),
         sensor_size=(10, 10),
+    )
+    params = env.default_params()
+    venv = vmap_vector_env(env, num_envs, AutoResetMode.LOCKSTEP)
+    return venv, params, 2200.0
+
+
+def make_cifar10(num_envs: int, bank_points: int | None = None):
+    """CIFAR10 5x5-glimpse classification. bank_points=50000 = real train split."""
+    from apx.core.env import AutoResetMode, vmap_vector_env
+    from apx.data.huggingface import load_hf_image_bank
+    from apx.envs.image_classification import ImageClassificationEnv
+
+    env = ImageClassificationEnv(
+        dataset=load_hf_image_bank("cifar10", num_points=bank_points)
     )
     params = env.default_params()
     venv = vmap_vector_env(env, num_envs, AutoResetMode.LOCKSTEP)
@@ -165,11 +183,46 @@ BENCHES = {
     "circle_square": make_circle_square,
     "light_dark": make_light_dark,
     "mnist": make_mnist,
+    "cifar10": make_cifar10,
     "tin_loc": make_tin_loc,
     "lidar_rooms": make_lidar_rooms,
     "lidar_rooms_static": make_lidar_rooms_static,
     "lidar_maze": make_lidar_maze,
 }
+
+# Makers whose dataset bank size is configurable (--bank-points), with the
+# real split size they should be measured at per BASELINE.md's north-star
+# configs (HF_DATASET_GEOMETRY in apx/data/huggingface.py).
+BANKED = {"mnist": 60000, "cifar10": 50000, "tin_loc": 100000}
+
+
+def _make(name: str, num_envs: int, bank_points: int | None):
+    mk = BENCHES[name]
+    if name in BANKED:
+        return mk(num_envs, bank_points=bank_points)
+    return mk(num_envs)
+
+
+def device_fingerprint() -> dict:
+    """Identity of the chip this process was handed, so cross-round bench
+    JSONs can separate chip luck from real regressions (PERF.md documents a
+    2.4x same-binary throughput spread between relay sessions)."""
+    d = jax.devices()[0]
+    return {
+        "platform": d.platform,
+        "device_kind": getattr(d, "device_kind", "unknown"),
+        "num_devices": jax.device_count(),
+    }
+
+
+def calibration_number(num_envs: int = 4096, steps: int = 200) -> float:
+    """Fixed-config lidar_rooms throughput: the per-chip speed reference.
+
+    Every emitted PERF file carries this so two rounds' numbers can be
+    normalized chip-to-chip (ratio-to-calibration comparisons survive the
+    relay's chip variance; absolute numbers do not)."""
+    venv, params, _ = make_lidar_rooms(num_envs)
+    return bench_env(venv, params, steps, jax.random.key(7))
 
 
 def bench_env_multihost(venv, params, num_steps: int, key, num_envs_per_device):
@@ -233,6 +286,27 @@ def main():
         "--distributed", action="store_true",
         help="call jax.distributed.initialize() before anything else",
     )
+    ap.add_argument(
+        "--bank-points", type=int, default=None,
+        help="dataset-bank size for mnist/cifar10/tin_loc (default: capped "
+        "synthetic bank; use --real-banks for true split sizes)",
+    )
+    ap.add_argument(
+        "--real-banks", action="store_true",
+        help="size each dataset bank at its REAL split size "
+        "(mnist=60k, cifar10=50k, tin_loc=100k)",
+    )
+    ap.add_argument(
+        "--emit", metavar="FILE", default=None,
+        help="also write a single JSON document with all results, a device "
+        "fingerprint and a calibration number (for PERF_rN.json)",
+    )
+    ap.add_argument(
+        "--ab-banks", action="store_true",
+        help="same-process A/B: each banked env at the capped-synthetic size "
+        "AND its real split size (the only comparison that survives the "
+        "relay's chip variance, PERF.md)",
+    )
     args = ap.parse_args()
 
     if args.distributed:
@@ -258,36 +332,74 @@ def main():
                         "devices": ndev,
                         "processes": jax.process_count(),
                         "per_device": round(sps / ndev, 1),
+                        "device_kind": device_fingerprint()["device_kind"],
                     }
                 )
             )
         return
 
     key = jax.random.key(0)
+    fp = device_fingerprint()
+
+    if args.ab_banks:
+        for name, real in sorted(BANKED.items()):
+            for pts in (8192, real):
+                venv, params, baseline = _make(name, args.num_envs, pts)
+                sps = bench_env(venv, params, args.steps, key)
+                print(json.dumps({
+                    "metric": f"{name}_env_steps_per_s",
+                    "value": round(sps, 1),
+                    "unit": "env-steps/s",
+                    "vs_baseline": round(sps / baseline, 3),
+                    "num_envs": args.num_envs,
+                    "bank_points": pts,
+                    "device_kind": fp["device_kind"],
+                }), flush=True)
+        return
+
     names = sorted(BENCHES) if args.all else [args.env]
+    records = []
     for name in names:
+        bank_points = args.bank_points
+        if args.real_banks and name in BANKED:
+            bank_points = BANKED[name]
         try:
-            venv, params, baseline = BENCHES[name](args.num_envs)
+            venv, params, baseline = _make(name, args.num_envs, bank_points)
         except (ImportError, AttributeError):
             if args.all:
                 continue  # env family not built yet
             name = "circle_square"
-            venv, params, baseline = BENCHES[name](args.num_envs)
+            venv, params, baseline = _make(name, args.num_envs, None)
         if args.profile:
             with jax.profiler.trace(args.profile):
                 sps = bench_env(venv, params, args.steps, key)
         else:
             sps = bench_env(venv, params, args.steps, key)
-        print(
-            json.dumps(
-                {
-                    "metric": f"{name}_env_steps_per_s",
-                    "value": round(sps, 1),
-                    "unit": "env-steps/s",
-                    "vs_baseline": round(sps / baseline, 3),
-                }
-            )
-        )
+        rec = {
+            "metric": f"{name}_env_steps_per_s",
+            "value": round(sps, 1),
+            "unit": "env-steps/s",
+            "vs_baseline": round(sps / baseline, 3),
+            "num_envs": args.num_envs,
+            "device_kind": fp["device_kind"],
+        }
+        if name in BANKED:
+            rec["bank_points"] = bank_points or "default"
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    if args.emit:
+        doc = {
+            "fingerprint": fp,
+            "calibration_lidar_rooms_4096x200": round(calibration_number(), 1),
+            "num_envs": args.num_envs,
+            "steps": args.steps,
+            "real_banks": bool(args.real_banks),
+            "results": records,
+        }
+        with open(args.emit, "w") as f:
+            json.dump(doc, f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":
