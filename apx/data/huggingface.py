@@ -215,6 +215,20 @@ def load_hf_image_bank(
             os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
             from datasets import load_dataset
 
+            if os.environ.get("HF_HUB_OFFLINE") != "0":
+                # The env vars above only matter at `datasets` import time;
+                # if the library was imported before us they are inert and
+                # a cache miss burns ~25 s in DNS retries (5 retries with
+                # backoff) before falling back. Force the runtime flags so
+                # a miss fails in microseconds; cached datasets still load.
+                import huggingface_hub.constants as _hub_c
+                from datasets import config as _ds_config
+
+                _ds_config.HF_HUB_OFFLINE = True
+                if hasattr(_ds_config, "HF_DATASETS_OFFLINE"):
+                    _ds_config.HF_DATASETS_OFFLINE = True
+                _hub_c.HF_HUB_OFFLINE = True
+
             return bank_from_hf(
                 load_dataset(name),
                 split=split,

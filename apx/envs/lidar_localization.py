@@ -44,11 +44,14 @@ from ..core.losses import LossFn
 from ..core.spaces import Box, DictSpace, Image, Space
 from ..data.floor_map import MapBank
 from ..ops.raycast import (
+    bitslab_window,
     extract_window_mxu,
     lidar_directions,
     lidar_table_scan,
+    pack_row_halves,
     pad_occupancy,
     raycast_grid,
+    raycast_grid_bitslab,
     raycast_grid_windowed,
 )
 from .common import make_regression_loss_and_target_space
@@ -77,6 +80,14 @@ class LIDARLocalizationParams(struct.PyTreeNode):
     #   "windowed"/"hybrid": dynamic_slice windows — 8-20x slower on TPU
     #     (per-env gathers don't tile), faster on CPU.
     #   "pallas": hand-scheduled VMEM kernel (dense math; loses XLA fusion).
+    #   "bitslab": 16-column window via BIT-PACKED map rows — each row is
+    #     two 16-bit half-words; window occupancy is a 2-way select +
+    #     variable shift + mask, all elementwise VPU ops (no gathers, no
+    #     tiny matmuls — the two mechanisms that made every round-2
+    #     windowed variant slower). The window lattice stays in global
+    #     coordinates so results are BITWISE equal to "xla"'s fast path
+    #     with 16/W of the per-cell slab work (apx.ops.raycast
+    #     .raycast_grid_bitslab). Reset scans (GEOS-typed) stay dense.
     raycast_backend: str = struct.field(pytree_node=False, default="xla")
     # Observation-scan beam tables (apx.ops.raycast.lidar_table_scan): one
     # gather per beam instead of the full slab scan. Measured SLOWER in
@@ -125,6 +136,12 @@ class LIDARLocalizationParams(struct.PyTreeNode):
     @property
     def use_pallas_window(self) -> bool:
         return self.raycast_backend == "pallas_window" and self.lidar_range <= (
+            self.win_size // 2 - 2
+        )
+
+    @property
+    def use_bitslab(self) -> bool:
+        return self.raycast_backend == "bitslab" and self.lidar_range <= (
             self.win_size // 2 - 2
         )
 
@@ -190,8 +207,18 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         return jnp.array([w, h], dtype=jnp.float32)
 
     def _make_window(self, state, params):
-        """One (win, win) occupancy window + base for all of a step's scans
-        (beams of range <= 6 from any point within 1.0 of state.pos fit)."""
+        """One occupancy window shared by all of a step's scans (beams of
+        range <= 6 from any point within 1.0 of state.pos fit). Returns a
+        tagged tuple: ("local", (win, win) occ, base) for the translated
+        backends, ("bitslab", (H, 16) occ, base_x) for the global-coordinate
+        bit-packed window, or None when the dense path is active."""
+        if params.use_bitslab:
+            _, w = params.map_bank.map_hw
+            base_x = jnp.floor(state.pos[0]) - (params.win_size // 2 - 1)
+            occ_win = bitslab_window(
+                pack_row_halves(state.occ), base_x.astype(jnp.int32), w
+            )
+            return ("bitslab", occ_win, base_x)
         if params.use_pallas_window:
             from ..ops.window_pallas import make_window_extractor
 
@@ -216,17 +243,28 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
                 )
             extractor = make_window_extractor(win=win, interpret=True)
             window = extractor(state.occ_padded, jnp.stack([x0, y0a]))
-            return window, jnp.stack([bx, by])
+            return ("local", window, jnp.stack([bx, by]))
         if not params.use_mxu_window:
             return None
-        return extract_window_mxu(
+        win, base = extract_window_mxu(
             state.occ_padded, params.ray_pad, state.pos, win=params.win_size
         )
+        return ("local", win, base)
 
     def _raycast(self, state, origin, targets, params, radius, typed=False,
                  window=None):
         if window is not None:
-            win_occ, base = window
+            kind, win_occ, base = window
+            if kind == "bitslab":
+                if typed:
+                    # GEOS-typed scans (resets only) stay on the dense path:
+                    # graze classification needs flank cells the fast window
+                    # doesn't carry, and resets are cond-gated cold code.
+                    return raycast_grid(
+                        state.occ, origin, targets, geos_typing=True
+                    )
+                _, w = params.map_bank.map_hw
+                return raycast_grid_bitslab(win_occ, base, w, origin, targets)
             return raycast_grid(
                 win_occ, origin - base, targets - base, geos_typing=typed
             )
@@ -265,7 +303,9 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
                 dirs,
             )
         else:
-            if window is None:
+            if window is None and not (typed and params.use_bitslab):
+                # typed bitslab scans fall through to dense anyway — don't
+                # build an unused window inside the (cond-gated) reset path.
                 window = self._make_window(state, params)
             dist, _ = self._raycast(
                 state, state.pos, state.pos + dirs, params, params.ray_pad,

@@ -46,7 +46,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["raycast_grid", "lidar_directions", "contact_cells"]
+__all__ = [
+    "raycast_grid",
+    "lidar_directions",
+    "contact_cells",
+    "pack_row_halves",
+    "bitslab_window",
+    "raycast_grid_bitslab",
+]
 
 _EPS = 1e-3
 
@@ -206,6 +213,90 @@ def raycast_grid(
         single_pt,
         0.0,
         jnp.where(hit, jnp.maximum(t_hit * seg_len - eps, 0.0), seg_len),
+    ).astype(jnp.float32)
+    return dist, t_hit
+
+
+def pack_row_halves(occ: jnp.ndarray) -> jnp.ndarray:
+    """(H, 2) int32: each map row's occupancy bits packed little-endian into
+    two 16-bit half-words (bit x of half x//16 = cell (row, x)).
+
+    16-bit halves (not full 32-bit words) because downstream consumers keep
+    everything in types the VPU handles exactly: values < 2**16 survive any
+    f32 round trip and int32 shift/mask ops are single VPU instructions.
+    Maps wider than 32 cells would need ceil(W/16) halves; all reference
+    floor maps are 21x21 or 32x32 (floor_map.py geometry).
+    """
+    h, w = occ.shape
+    assert w <= 32, f"pack_row_halves supports W<=32, got {w}"
+    bits = jnp.pad(occ.astype(jnp.int32), ((0, 0), (0, 32 - w)))
+    weights = jnp.left_shift(1, jnp.arange(16, dtype=jnp.int32))
+    return jnp.sum(bits.reshape(h, 2, 16) * weights, axis=-1)
+
+
+def bitslab_window(
+    halves: jnp.ndarray, base_x: jnp.ndarray, w: int
+) -> jnp.ndarray:
+    """(H, 16) bool occupancy of global columns [base_x, base_x + 16).
+
+    This is the gather-free window extraction: a 2-way half-word select, a
+    variable right-shift and a mask — all elementwise VPU ops — replace the
+    per-env dynamic_slice / one-hot-matmul / DMA extractions that all
+    measured slower or were rejected by the hardware (PERF.md round-2
+    study). Out-of-map columns read as free.
+    """
+    x = base_x.astype(jnp.int32) + jnp.arange(16, dtype=jnp.int32)[None, :]
+    valid = (x >= 0) & (x < w)
+    xc = jnp.clip(x, 0, w - 1)
+    half = jnp.where(xc < 16, halves[:, 0:1], halves[:, 1:2])  # (H, 16)
+    bit = jnp.right_shift(half, jnp.bitwise_and(xc, 15)) & 1
+    return valid & (bit == 1)
+
+
+def raycast_grid_bitslab(
+    occ_win: jnp.ndarray,
+    base_x: jnp.ndarray,
+    w: int,
+    origin: jnp.ndarray,
+    targets: jnp.ndarray,
+    eps: float = _EPS,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fast-path slab raycast against the 16-column window ``occ_win``
+    (H, 16 — from bitslab_window) covering global columns
+    [base_x, base_x + 16).
+
+    The lattice stays in GLOBAL coordinates: window columns enter the slab
+    arrays as ``base_x + iota`` (integer-valued f32, exact), so every
+    per-cell quantity is computed by the identical f32 expressions as
+    raycast_grid's fast path and the min-reduce runs over a subset of the
+    dense lattice. Whenever all contributing cells (per-axis extent from
+    origin <= 7 at any sub-cell offset) lie inside the window the result is
+    therefore BITWISE equal to raycast_grid(occ, origin, targets,
+    geos_typing=False) — with 16/W of the per-cell work. The flat (R, H*16)
+    layout packs VPU lanes fully, unlike a (R, H, 16) form whose minor dim
+    would occupy 16 of 128 lanes.
+    """
+    h = occ_win.shape[0]
+    o = origin.astype(jnp.float32)
+    d = targets.astype(jnp.float32) - o  # (R, 2)
+    seg_len = jnp.linalg.norm(d, axis=-1)  # (R,)
+
+    col = base_x.astype(jnp.float32) + jnp.arange(16, dtype=jnp.float32)
+    row = jnp.arange(h, dtype=jnp.float32)
+    nx1, fx1 = _slab_axis(o[0], d[:, 0:1], col[None, :], col[None, :] + 1.0)
+    ny1, fy1 = _slab_axis(o[1], d[:, 1:2], row[None, :], row[None, :] + 1.0)
+
+    nx0 = jnp.tile(jnp.maximum(nx1, 0.0), (1, h))
+    ny0 = jnp.repeat(jnp.maximum(ny1, 0.0), 16, axis=-1)
+    fxc = jnp.tile(jnp.minimum(fx1, 1.0), (1, h))
+    fyc = jnp.repeat(jnp.minimum(fy1, 1.0), 16, axis=-1)
+    a = jnp.maximum(nx0, ny0)
+    b = jnp.minimum(fxc, fyc)
+    valid = occ_win.reshape(-1)[None] & (a <= b)
+    t_hit = jnp.min(jnp.where(valid, a, jnp.inf), axis=-1)  # (R,)
+    hit = jnp.isfinite(t_hit)
+    dist = jnp.where(
+        hit, jnp.maximum(t_hit * seg_len - eps, 0.0), seg_len
     ).astype(jnp.float32)
     return dist, t_hit
 

@@ -432,6 +432,92 @@ def test_pallas_window_matches_dense():
         np.testing.assert_array_equal(np.asarray(te1), np.asarray(te2))
 
 
+def test_bitslab_raycast_matches_dense_bitwise():
+    """The bit-packed 16-column window raycast is BITWISE equal to the
+    dense fast path: the window lattice keeps global coordinates, so every
+    per-cell f32 expression is identical and the min-reduce runs over a
+    superset of the contributing cells (raycast_grid_bitslab docstring)."""
+    import jax.numpy as jnp
+
+    from apx.ops.raycast import (
+        bitslab_window,
+        pack_row_halves,
+        raycast_grid,
+        raycast_grid_bitslab,
+    )
+
+    rng = np.random.default_rng(3)
+    for mk, reps in ((generate_rooms_map, 40), (generate_maze_map, 40)):
+        occ = mk(7)
+        h, w = occ.shape
+        halves = pack_row_halves(jnp.asarray(occ))
+        # Packed halves reproduce the map exactly.
+        occ_rt = np.asarray(bitslab_window(halves, jnp.int32(0), w))[:, :16]
+        np.testing.assert_array_equal(occ_rt, occ[:, : min(16, w)])
+        free_y, free_x = np.where(~occ)
+        for _ in range(reps):
+            i = rng.integers(len(free_y))
+            origin = np.array(
+                [free_x[i], free_y[i]], np.float32
+            ) + rng.uniform(0.0, 1.0, 2).astype(np.float32)
+            ang = rng.uniform(-np.pi, np.pi, size=11)
+            rad = rng.uniform(0.0, 5.0, size=11)
+            targets = origin[None] + np.stack(
+                [np.cos(ang) * rad, np.sin(ang) * rad], axis=-1
+            ).astype(np.float32)
+            base_x = np.float32(np.floor(origin[0]) - 7)
+            occ_win = bitslab_window(halves, jnp.int32(base_x), w)
+            d1, t1 = raycast_grid_bitslab(
+                occ_win, jnp.float32(base_x), w, jnp.asarray(origin),
+                jnp.asarray(targets),
+            )
+            d2, t2 = raycast_grid(
+                jnp.asarray(occ), jnp.asarray(origin), jnp.asarray(targets),
+                geos_typing=False,
+            )
+            np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+            np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_bitslab_env_matches_dense_bitwise():
+    """Full-trajectory bitwise equality of backend='bitslab' vs the dense
+    default: observations, positions and terminations never diverge (the
+    windowed scan is exact, not approximately equal — unlike mxu_window's
+    1-ulp translation differences)."""
+    import jax
+    import jax.numpy as jnp
+
+    import apx
+
+    for env_id in ("LIDARLocRooms-v0", "LIDARLocMazeStatic-v0"):
+        venv, p_bs = apx.make_vec(env_id, num_envs=16, raycast_backend="bitslab")
+        _, p_dense = apx.make_vec(env_id, num_envs=16)
+        assert p_bs.use_bitslab and not p_dense.use_bitslab
+        key = jax.random.PRNGKey(11)
+        o1, s1, _ = venv.reset(key, p_bs)
+        o2, s2, _ = venv.reset(key, p_dense)
+        np.testing.assert_array_equal(
+            np.asarray(o1["lidar"]), np.asarray(o2["lidar"])
+        )
+        step = jax.jit(venv.step)
+        for t in range(60):
+            k = jax.random.fold_in(key, t)
+            act = {
+                "action": jax.random.uniform(k, (16, 2), minval=-1, maxval=1),
+                "prediction": jnp.zeros((16, 2)),
+            }
+            o1, s1, r1, te1, *_ = step(k, s1, act, p_bs)
+            o2, s2, r2, te2, *_ = step(k, s2, act, p_dense)
+            np.testing.assert_array_equal(
+                np.asarray(o1["lidar"]), np.asarray(o2["lidar"]), err_msg=f"step {t}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(s1.inner.inner.pos), np.asarray(s2.inner.inner.pos)
+            )
+            np.testing.assert_array_equal(np.asarray(te1), np.asarray(te2))
+            np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
 def test_beam_tables_match_slab_bitwise():
     """The beam face-table observation scan (a measured-slower alternative
     kept selectable, PERF.md) is BITWISE equal to the dense slab scan at
