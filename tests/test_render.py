@@ -107,15 +107,17 @@ def _frame_diff(ref_env, mine_env, seed, steps, rng_seed=0):
         ("CircleSquare-v0", 20, True, 0.0),
         ("CircleSquare-s15-v0", 17, True, 0.0),
         # LightDark: the brightness field is computed in f32 on device vs
-        # the reference's f64 (+-1 quantization on a handful of pixels),
-        # and marker-edge pixels may flip vs the reference's f64 positions.
-        ("LightDark-v0", 10, False, 0.001),
+        # the reference's f64 — every pixel stays within the +-8
+        # quantization band (frac of >8 diffs pinned at exactly 0).
+        ("LightDark-v0", 10, False, 0.0),
         # LIDAR: reset frames are exact; after movement the reference keeps
         # f64 positions (np.linalg.norm promotions) while apx is f32, so
         # PIL line rasterization can flip boundary pixels on beam/trail
-        # slivers (<0.5% of pixels).
-        ("LIDARLocRooms-v0", 8, True, 0.005),
-        ("LIDARLocMaze-v0", 8, True, 0.005),
+        # slivers. Budgets are pinned to ~1.7x the measured drift (max
+        # 0.114% on ONE frame of the trajectory, 0 elsewhere) so growth
+        # within the old 0.5% ceiling fails loudly.
+        ("LIDARLocRooms-v0", 8, True, 0.002),
+        ("LIDARLocMaze-v0", 8, True, 0.002),
     ],
 )
 def test_render_golden_frames(env_id, steps, reset_exact, frac_tol):
@@ -133,7 +135,13 @@ def test_render_golden_frames(env_id, steps, reset_exact, frac_tol):
     assert rf0.shape == mf0.shape
     if reset_exact:
         np.testing.assert_array_equal(rf0, mf0, err_msg=f"{env_id} reset frame")
+    fracs = []
     for t, (rf, mf) in enumerate(frames[1:]):
         d = np.abs(rf - mf)
         frac = float((d > 8).mean())
+        fracs.append(frac)
         assert frac <= frac_tol, (env_id, t, frac, int(d.max()))
+    # Drift-direction pin: flips are isolated events, not a per-frame tax —
+    # the trajectory MEAN must stay well under the per-frame ceiling.
+    if frac_tol:
+        assert float(np.mean(fracs)) <= frac_tol / 4.0, (env_id, fracs)
