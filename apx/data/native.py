@@ -37,14 +37,23 @@ _SO = os.path.join(_NATIVE_DIR, "libapx_native.so")
 
 
 def _build() -> bool:
+    # Compile to a private temp name, then atomically rename: concurrent
+    # builders (e.g. pytest-xdist workers racing on first use) each publish
+    # a complete .so instead of interleaving writes into one path.
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-pthread", "-shared", "-fPIC", "-std=c++17",
-        "-o", _SO, _SRC,
+        "-o", tmp, _SRC,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

@@ -88,7 +88,12 @@ class LIDARLocalizationParams(struct.PyTreeNode):
     #     coordinates so results are BITWISE equal to "xla"'s fast path
     #     with 16/W of the per-cell slab work (apx.ops.raycast
     #     .raycast_grid_bitslab). Reset scans (GEOS-typed) stay dense.
-    raycast_backend: str = struct.field(pytree_node=False, default="xla")
+    #     Same-session A/B (round 3): 6.08M vs 5.61M/5.63M dense xla
+    #     (+8.4%) — the first windowed variant to beat the dense form.
+    #   "auto" (default): "bitslab" whenever eligible (lidar_range fits the
+    #     16-column window and the map is <= 32 cells wide — true for every
+    #     registered env), else the dense "xla" path.
+    raycast_backend: str = struct.field(pytree_node=False, default="auto")
     # Observation-scan beam tables (apx.ops.raycast.lidar_table_scan): one
     # gather per beam instead of the full slab scan. Measured SLOWER in
     # context (same-process A/B on v5e: 3.05M vs 4.80M env-steps/s) even
@@ -141,8 +146,10 @@ class LIDARLocalizationParams(struct.PyTreeNode):
 
     @property
     def use_bitslab(self) -> bool:
-        return self.raycast_backend == "bitslab" and self.lidar_range <= (
-            self.win_size // 2 - 2
+        return (
+            self.raycast_backend in ("bitslab", "auto")
+            and self.lidar_range <= (self.win_size // 2 - 2)
+            and self.map_bank.map_hw[1] <= 32
         )
 
 

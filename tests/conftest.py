@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite re-jits the same env graphs every
+# run (and every xdist worker); cache hits skip XLA entirely. Keyed by HLO
+# hash, so staleness is not a concern.
+jax.config.update("jax_compilation_cache_dir", "/tmp/apx_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -491,8 +491,11 @@ def test_bitslab_env_matches_dense_bitwise():
 
     for env_id in ("LIDARLocRooms-v0", "LIDARLocMazeStatic-v0"):
         venv, p_bs = apx.make_vec(env_id, num_envs=16, raycast_backend="bitslab")
-        _, p_dense = apx.make_vec(env_id, num_envs=16)
+        _, p_dense = apx.make_vec(env_id, num_envs=16, raycast_backend="xla")
         assert p_bs.use_bitslab and not p_dense.use_bitslab
+        # The default ("auto") resolves to bitslab on every registered map.
+        _, p_auto = apx.make_vec(env_id, num_envs=16)
+        assert p_auto.use_bitslab
         key = jax.random.PRNGKey(11)
         o1, s1, _ = venv.reset(key, p_bs)
         o2, s2, _ = venv.reset(key, p_dense)
@@ -552,4 +555,23 @@ def test_beam_tables_match_slab_bitwise():
         o2, s2, *_ = step(k, s2, act, p_s)
         np.testing.assert_array_equal(
             np.asarray(o1["lidar"]), np.asarray(o2["lidar"]), err_msg=f"step {t}"
+        )
+
+
+def test_issue_rate_study_kernels():
+    """Both layouts of the issue-rate study kernel compute the identical
+    loop-carried chain as the pure-jnp reference (interpret mode — the TPU
+    timing run reuses exactly this code path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from apx.ops.issue_rate_study import _chain_body, _inputs, chain_pallas
+
+    key = jax.random.key(7)
+    for lanes in (128, 16):
+        args = _inputs(key, 512, lanes)
+        got = chain_pallas(*args, iters=5, block_rows=256, interpret=True)
+        want = _chain_body(*args, 5)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=0
         )
