@@ -100,13 +100,21 @@ def synthetic_image_bank(
     freq = (labels[:, None, None, None] + 1).astype(np.float32)
     two_pi = np.float32(2 * np.pi)  # keep the whole pipeline f32 — a f64
     # promotion here doubles generation time for 100k-image banks
-    img = 0.5 + 0.25 * np.sin(
-        two_pi * (freq * (xx + shift) + (cc + 1) * yy) + phase, dtype=np.float32
-    ) + 0.25 * np.cos(two_pi * freq * yy + phase, dtype=np.float32)
-    img = np.clip(img, np.float32(0.0), np.float32(1.0))
-    bank = BankImageDataset.from_numpy(
-        (img * 255).astype(np.uint8), labels, num_classes=k
-    )
+    # Chunk the (purely elementwise) image math: the full-bank form
+    # materializes ~4x (n,h,w,c) f32 temporaries (~15 GB host RAM for the
+    # 100k TinyImageNet bank). RNG draws above stay whole-bank, so chunking
+    # is bitwise-identical to the unchunked expression.
+    out = np.empty((n, h, w, c), dtype=np.uint8)
+    step = max(1, (64 << 20) // (h * w * c * 4))  # ~64 MB f32 per chunk
+    for i in range(0, n, step):
+        sl = slice(i, min(i + step, n))
+        img = 0.5 + 0.25 * np.sin(
+            two_pi * (freq[sl] * (xx + shift[sl]) + (cc + 1) * yy) + phase[sl],
+            dtype=np.float32,
+        ) + 0.25 * np.cos(two_pi * freq[sl] * yy + phase[sl], dtype=np.float32)
+        img = np.clip(img, np.float32(0.0), np.float32(1.0))
+        out[sl] = (img * 255).astype(np.uint8)
+    bank = BankImageDataset.from_numpy(out, labels, num_classes=k)
     object.__setattr__(bank, "_bank_kind", "synthetic")
     return bank
 
