@@ -141,37 +141,44 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
         )
 
         # ---- jitted device functions ----------------------------------
+        # params is threaded through jit as an ARGUMENT (bound by the
+        # lambdas below), never a closure constant: closed-over arrays are
+        # baked into the compile payload, which duplicates GB-scale dataset
+        # banks into executables (and overflows the axon relay's
+        # remote-compile transport).
         n = num_envs
+        params = jax.device_put(params)
 
-        @jax.jit
-        def jit_reset_native(key):
+        def jit_reset_native(key, params):
             keys = jax.random.split(key, n)
             return jax.vmap(env.reset_env, in_axes=(0, None))(keys, params)
 
-        @jax.jit
-        def jit_reset_draws(draws):
+        def jit_reset_draws(draws, params):
             return reset_from_draws(env, draws, params)
 
-        @jax.jit
-        def jit_raw_step(key, state, action, prediction, step_draws):
+        def jit_raw_step(key, state, action, prediction, step_draws, params):
             keys = jax.random.split(key, n)
             r = jax.vmap(env.step_env, in_axes=(0, 0, 0, 0, None))(
                 keys, state, action, prediction, params
             )
             return apply_step_draws(env, r, step_draws, params)
 
-        @jax.jit
-        def jit_target_on_reset(old_state, new_state):
+        def jit_target_on_reset(old_state, new_state, params):
             return jax.vmap(
                 lambda o, s: env.prediction_target_on_reset(o, s, params)
             )(old_state, new_state)
 
-        @jax.jit
-        def jit_autoreset_native(key, old_state):
+        def jit_autoreset_native(key, old_state, params):
             keys = jax.random.split(key, n)
             return jax.vmap(env.autoreset_env, in_axes=(0, 0, None))(
                 keys, old_state, params
             )
+
+        jit_reset_native = jax.jit(jit_reset_native)
+        jit_reset_draws = jax.jit(jit_reset_draws)
+        jit_raw_step = jax.jit(jit_raw_step)
+        jit_target_on_reset = jax.jit(jit_target_on_reset)
+        jit_autoreset_native = jax.jit(jit_autoreset_native)
 
         @jax.jit
         def jit_merge(mask, reset_triple, raw):
@@ -200,11 +207,11 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
             trunc = jnp.where(mask, False, raw.truncated)
             return obs, state, base_reward, term, trunc, info
 
-        self._jit_reset_native = jit_reset_native
-        self._jit_reset_draws = jit_reset_draws
-        self._jit_raw_step = jit_raw_step
-        self._jit_target_on_reset = jit_target_on_reset
-        self._jit_autoreset_native = jit_autoreset_native
+        self._jit_reset_native = lambda key: jit_reset_native(key, params)
+        self._jit_reset_draws = lambda draws: jit_reset_draws(draws, params)
+        self._jit_raw_step = lambda *a: jit_raw_step(*a, params)
+        self._jit_target_on_reset = lambda o, s: jit_target_on_reset(o, s, params)
+        self._jit_autoreset_native = lambda k, s: jit_autoreset_native(k, s, params)
         self._jit_merge = jit_merge
 
     # ------------------------------------------------------------------

@@ -130,8 +130,13 @@ def sharded_rollout(
     reductions are psums over the env axis inserted by GSPMD."""
     bs = sharding.batch
 
+    # params enters jit as an ARGUMENT, not a closure constant: closed-over
+    # arrays are baked into the compile payload, which duplicates GB-scale
+    # dataset banks into the executable (and overflows the axon relay's
+    # remote-compile transport). The public signature run(key) is preserved
+    # by the partial application below.
     @jax.jit
-    def run(key):
+    def run(key, params):
         rkey, skey = jax.random.split(key)
         obs0, state0, _ = venv.reset(rkey, params)
         obs0 = jax.lax.with_sharding_constraint(obs0, bs)
@@ -150,4 +155,4 @@ def sharded_rollout(
         (obs_f, state_f), (rmeans, dones) = jax.lax.scan(body, (obs0, state0), keys)
         return state_f, rmeans.mean(), dones.sum()
 
-    return run
+    return lambda key: run(key, params)

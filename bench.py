@@ -45,7 +45,11 @@ def bench_env(venv, params, num_steps: int, key) -> float:
         return {"action": jnp.clip(act + probe, -1.0, 1.0), "prediction": pred}
 
     @jax.jit
-    def run(key, state0, obs0):
+    def run(key, state0, obs0, params):
+        # params MUST be a jit argument, not a closure: closed-over arrays
+        # become compile-time constants, and under the axon relay the whole
+        # constant (e.g. a 1.17 GB dataset bank) is serialized into the
+        # remote-compile payload — 30+ min of host CPU, then a broken pipe.
         def body(carry, k):
             obs, state = carry
             pk, sk = jax.random.split(k)
@@ -58,10 +62,11 @@ def bench_env(venv, params, num_steps: int, key) -> float:
         return state_f, rsum.sum()
 
     rk, bk, wk = jax.random.split(key, 3)
+    params = jax.device_put(params)
     obs0, state0, _ = jax.jit(venv.reset)(rk, params)
-    jax.block_until_ready(run(wk, state0, obs0))  # warmup/compile
+    jax.block_until_ready(run(wk, state0, obs0, params))  # warmup/compile
     t0 = time.perf_counter()
-    state_f, rsum = run(bk, state0, obs0)
+    state_f, rsum = run(bk, state0, obs0, params)
     jax.block_until_ready(rsum)
     dt = time.perf_counter() - t0
     return n * num_steps / dt
