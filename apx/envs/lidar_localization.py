@@ -45,6 +45,7 @@ from ..core.spaces import Box, DictSpace, Image, Space
 from ..data.floor_map import MapBank
 from ..ops.raycast import (
     bitslab_window,
+    bitslab_window_2d,
     extract_window_mxu,
     lidar_directions,
     lidar_table_scan,
@@ -52,6 +53,7 @@ from ..ops.raycast import (
     pad_occupancy,
     raycast_grid,
     raycast_grid_bitslab,
+    raycast_grid_bitslab2d,
     raycast_grid_windowed,
 )
 from .common import make_regression_loss_and_target_space
@@ -90,6 +92,11 @@ class LIDARLocalizationParams(struct.PyTreeNode):
     #     .raycast_grid_bitslab). Reset scans (GEOS-typed) stay dense.
     #     Same-session A/B (round 3): 6.08M vs 5.61M/5.63M dense xla
     #     (+8.4%) — the first windowed variant to beat the dense form.
+    #   "bitslab2d": second bit-domain pass cuts rows too — the (H, 16)
+    #     x-window's columns re-pack into one uint32 row-word each and a
+    #     second variable shift yields a (16, 16) window: 256/(H*W) of the
+    #     dense combine work, still zero gathers, still bitwise-equal
+    #     (apx.ops.raycast.bitslab_window_2d).
     #   "auto" (default): "bitslab" whenever eligible (lidar_range fits the
     #     16-column window and the map is <= 32 cells wide — true for every
     #     registered env), else the dense "xla" path.
@@ -149,6 +156,15 @@ class LIDARLocalizationParams(struct.PyTreeNode):
         return (
             self.raycast_backend in ("bitslab", "auto")
             and self.lidar_range <= (self.win_size // 2 - 2)
+            and self.map_bank.map_hw[1] <= 32
+        )
+
+    @property
+    def use_bitslab2d(self) -> bool:
+        return (
+            self.raycast_backend == "bitslab2d"
+            and self.lidar_range <= (self.win_size // 2 - 2)
+            and self.map_bank.map_hw[0] <= 32
             and self.map_bank.map_hw[1] <= 32
         )
 
@@ -219,6 +235,18 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         tagged tuple: ("local", (win, win) occ, base) for the translated
         backends, ("bitslab", (H, 16) occ, base_x) for the global-coordinate
         bit-packed window, or None when the dense path is active."""
+        if params.use_bitslab2d:
+            _, w = params.map_bank.map_hw
+            half = params.win_size // 2 - 1
+            base_x = jnp.floor(state.pos[0]) - half
+            base_y = jnp.floor(state.pos[1]) - half
+            occ_win = bitslab_window_2d(
+                pack_row_halves(state.occ),
+                base_x.astype(jnp.int32),
+                base_y.astype(jnp.int32),
+                w,
+            )
+            return ("bitslab2d", occ_win, (base_x, base_y))
         if params.use_bitslab:
             _, w = params.map_bank.map_hw
             base_x = jnp.floor(state.pos[0]) - (params.win_size // 2 - 1)
@@ -262,13 +290,17 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
                  window=None):
         if window is not None:
             kind, win_occ, base = window
-            if kind == "bitslab":
+            if kind in ("bitslab", "bitslab2d"):
                 if typed:
                     # GEOS-typed scans (resets only) stay on the dense path:
                     # graze classification needs flank cells the fast window
                     # doesn't carry, and resets are cond-gated cold code.
                     return raycast_grid(
                         state.occ, origin, targets, geos_typing=True
+                    )
+                if kind == "bitslab2d":
+                    return raycast_grid_bitslab2d(
+                        win_occ, base[0], base[1], origin, targets
                     )
                 _, w = params.map_bank.map_hw
                 return raycast_grid_bitslab(win_occ, base, w, origin, targets)
@@ -310,7 +342,9 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
                 dirs,
             )
         else:
-            if window is None and not (typed and params.use_bitslab):
+            if window is None and not (
+                typed and (params.use_bitslab or params.use_bitslab2d)
+            ):
                 # typed bitslab scans fall through to dense anyway — don't
                 # build an unused window inside the (cond-gated) reset path.
                 window = self._make_window(state, params)

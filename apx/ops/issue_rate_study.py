@@ -59,10 +59,12 @@ def _chain_body(nx, ny, fx, fy, occ, iters):
         t = jnp.where(valid, a, b)
         return acc + t, t * 0.25 + 0.125
 
-    acc, _ = jax.lax.fori_loop(
+    acc, x = jax.lax.fori_loop(
         0, iters, body, (jnp.zeros_like(nx), jnp.full_like(nx, 0.25))
     )
-    return acc
+    # acc + x stays O(iters): t is bounded by the input-derived a/b, so the
+    # result can be fed back as an input across timing reps (see measure).
+    return acc + x
 
 
 def _chain_kernel(nx_ref, ny_ref, fx_ref, fy_ref, occ_ref, out_ref, *, iters):
@@ -104,11 +106,17 @@ def measure(rows: int = 4096, iters: int = 512, reps: int = 20):
     key = jax.random.key(0)
     out = {}
     for name, lanes in (("wide", 128), ("narrow", 16)):
-        args = _inputs(key, rows, lanes)
+        args = list(_inputs(key, rows, lanes))
         fn = jax.jit(functools.partial(chain_pallas, iters=iters))
-        jax.block_until_ready(fn(*args))  # compile + warm
+        r = fn(*args)
+        jax.block_until_ready(r)  # compile + warm
         t0 = time.perf_counter()
         for _ in range(reps):
+            # Chain each rep's output into the next rep's first input: reps
+            # form a true data-dependent sequence, so neither async dispatch
+            # overlap nor any execution cache (the axon relay memoizes
+            # identical (executable, args) calls) can shortcut the timing.
+            args[0] = r
             r = fn(*args)
         jax.block_until_ready(r)
         dt = (time.perf_counter() - t0) / reps

@@ -52,7 +52,9 @@ __all__ = [
     "contact_cells",
     "pack_row_halves",
     "bitslab_window",
+    "bitslab_window_2d",
     "raycast_grid_bitslab",
+    "raycast_grid_bitslab2d",
 ]
 
 _EPS = 1e-3
@@ -251,6 +253,80 @@ def bitslab_window(
     half = jnp.where(xc < 16, halves[:, 0:1], halves[:, 1:2])  # (H, 16)
     bit = jnp.right_shift(half, jnp.bitwise_and(xc, 15)) & 1
     return valid & (bit == 1)
+
+
+def bitslab_window_2d(
+    halves: jnp.ndarray, base_x: jnp.ndarray, base_y: jnp.ndarray, w: int
+) -> jnp.ndarray:
+    """(16, 16) bool occupancy of global cells rows [base_y, base_y + 16)
+    x cols [base_x, base_x + 16), still gather-free.
+
+    Two bit-domain passes: the x-window select/shift of
+    ``bitslab_window`` produces a (H, 16) 0/1 matrix; its columns are
+    then re-packed into one uint32 row-word each (bit y = row y — a sum
+    of disjoint powers of two, so uint32 wraparound is exact) and the
+    y-window is a second variable right-shift. ~1.5k extra VPU ops per
+    env buys a further 2x cut of the slab lattice (512 -> 256 cells).
+    Out-of-map cells read as free, exactly like the 1-D window.
+    """
+    h = halves.shape[0]
+    assert h <= 32, f"bitslab_window_2d supports H<=32, got {h}"
+    x = base_x.astype(jnp.int32) + jnp.arange(16, dtype=jnp.int32)[None, :]
+    validx = (x >= 0) & (x < w)
+    xc = jnp.clip(x, 0, w - 1)
+    half = jnp.where(xc < 16, halves[:, 0:1], halves[:, 1:2])  # (H, 16)
+    bit = jnp.right_shift(half, jnp.bitwise_and(xc, 15)) & 1
+    bit = jnp.where(validx, bit, 0).astype(jnp.uint32)
+    colw = jnp.sum(
+        bit << jnp.arange(h, dtype=jnp.uint32)[:, None], axis=0
+    )  # (16,) uint32; bit y of colw[wx] = cell (y, base_x + wx)
+    y = base_y.astype(jnp.int32) + jnp.arange(16, dtype=jnp.int32)[:, None]
+    validy = (y >= 0) & (y < h)
+    yc = jnp.clip(y, 0, h - 1).astype(jnp.uint32)
+    out = (colw[None, :] >> yc) & jnp.uint32(1)  # (16, 16)
+    return (out == 1) & validy
+
+
+def raycast_grid_bitslab2d(
+    occ_win: jnp.ndarray,
+    base_x: jnp.ndarray,
+    base_y: jnp.ndarray,
+    origin: jnp.ndarray,
+    targets: jnp.ndarray,
+    eps: float = _EPS,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fast-path slab raycast against the (16, 16) 2-D window
+    ``occ_win`` (from bitslab_window_2d) covering global rows
+    [base_y, base_y + 16) x cols [base_x, base_x + 16).
+
+    Identical global-coordinate construction as raycast_grid_bitslab —
+    per-cell f32 expressions match the dense fast path exactly, and the
+    min-reduce runs over a subset of the dense lattice containing every
+    contributing cell (per-axis extent from origin <= 7 in BOTH axes
+    now), so results are BITWISE equal with 256/(H*W) of the work.
+    """
+    o = origin.astype(jnp.float32)
+    d = targets.astype(jnp.float32) - o  # (R, 2)
+    seg_len = jnp.linalg.norm(d, axis=-1)  # (R,)
+
+    col = base_x.astype(jnp.float32) + jnp.arange(16, dtype=jnp.float32)
+    row = base_y.astype(jnp.float32) + jnp.arange(16, dtype=jnp.float32)
+    nx1, fx1 = _slab_axis(o[0], d[:, 0:1], col[None, :], col[None, :] + 1.0)
+    ny1, fy1 = _slab_axis(o[1], d[:, 1:2], row[None, :], row[None, :] + 1.0)
+
+    nx0 = jnp.tile(jnp.maximum(nx1, 0.0), (1, 16))
+    ny0 = jnp.repeat(jnp.maximum(ny1, 0.0), 16, axis=-1)
+    fxc = jnp.tile(jnp.minimum(fx1, 1.0), (1, 16))
+    fyc = jnp.repeat(jnp.minimum(fy1, 1.0), 16, axis=-1)
+    a = jnp.maximum(nx0, ny0)
+    b = jnp.minimum(fxc, fyc)
+    valid = occ_win.reshape(-1)[None] & (a <= b)
+    t_hit = jnp.min(jnp.where(valid, a, jnp.inf), axis=-1)  # (R,)
+    hit = jnp.isfinite(t_hit)
+    dist = jnp.where(
+        hit, jnp.maximum(t_hit * seg_len - eps, 0.0), seg_len
+    ).astype(jnp.float32)
+    return dist, t_hit
 
 
 def raycast_grid_bitslab(

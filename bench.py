@@ -58,16 +58,26 @@ def bench_env(venv, params, num_steps: int, key) -> float:
             return (obs2, state2), reward.sum()
 
         keys = jax.random.split(key, num_steps)
-        (_, state_f), rsum = jax.lax.scan(body, (obs0, state0), keys)
-        return state_f, rsum.sum()
+        (obs_f, state_f), rsum = jax.lax.scan(body, (obs0, state0), keys)
+        return obs_f, state_f, rsum.sum()
 
-    rk, bk, wk = jax.random.split(key, 3)
+    rk, bk, wk, sk = jax.random.split(key, 4)
     params = jax.device_put(params)
     obs0, state0, _ = jax.jit(venv.reset)(rk, params)
-    jax.block_until_ready(run(wk, state0, obs0, params))  # warmup/compile
+    # The timed run consumes the previous run's final obs/state (true data
+    # dependence) and the timed region ends with a VALUE fetch of the
+    # reward scalar: under the axon relay, block_until_ready on an output
+    # of an arg-passing jit call is NOT a completion barrier (it measured
+    # dispatch only — "4.4e9 env-steps/s"); fetching a scalar is. A settle
+    # segment between warmup and the timed segment absorbs the one-time
+    # post-compile overhead observed on the first real execution.
+    obs_w, state_w, _ = run(wk, state0, obs0, params)
+    jax.block_until_ready(state_w)  # warmup/compile
+    obs_w, state_w, rs = run(sk, state_w, obs_w, params)
+    float(rs)  # settle + barrier
     t0 = time.perf_counter()
-    state_f, rsum = run(bk, state0, obs0, params)
-    jax.block_until_ready(rsum)
+    obs_f, state_f, rsum = run(bk, state_w, obs_w, params)
+    float(rsum)  # completion barrier (see above)
     dt = time.perf_counter() - t0
     return n * num_steps / dt
 
@@ -264,10 +274,11 @@ def bench_env_multihost(venv, params, num_steps: int, key, num_envs_per_device):
 
     run = sharded_rollout(venv, sharding, params, policy, num_steps)
     wk, bk = jax.random.split(key)
-    jax.block_until_ready(run(wk))  # warmup/compile
+    out = run(wk)  # warmup/compile
+    float(out[1])  # value fetch: the only reliable barrier on the relay
     t0 = time.perf_counter()
     out = run(bk)
-    jax.block_until_ready(out)
+    float(out[1])
     dt = time.perf_counter() - t0
     return n * num_steps / dt, ndev
 

@@ -446,6 +446,8 @@ def test_bitslab_raycast_matches_dense_bitwise():
         raycast_grid_bitslab,
     )
 
+    from apx.ops.raycast import bitslab_window_2d, raycast_grid_bitslab2d
+
     rng = np.random.default_rng(3)
     for mk, reps in ((generate_rooms_map, 40), (generate_maze_map, 40)):
         occ = mk(7)
@@ -454,6 +456,12 @@ def test_bitslab_raycast_matches_dense_bitwise():
         # Packed halves reproduce the map exactly.
         occ_rt = np.asarray(bitslab_window(halves, jnp.int32(0), w))[:, :16]
         np.testing.assert_array_equal(occ_rt, occ[:, : min(16, w)])
+        occ_rt2 = np.asarray(
+            bitslab_window_2d(halves, jnp.int32(0), jnp.int32(0), w)
+        )
+        np.testing.assert_array_equal(
+            occ_rt2, occ[: min(16, h), : min(16, w)]
+        )
         free_y, free_x = np.where(~occ)
         for _ in range(reps):
             i = rng.integers(len(free_y))
@@ -466,6 +474,7 @@ def test_bitslab_raycast_matches_dense_bitwise():
                 [np.cos(ang) * rad, np.sin(ang) * rad], axis=-1
             ).astype(np.float32)
             base_x = np.float32(np.floor(origin[0]) - 7)
+            base_y = np.float32(np.floor(origin[1]) - 7)
             occ_win = bitslab_window(halves, jnp.int32(base_x), w)
             d1, t1 = raycast_grid_bitslab(
                 occ_win, jnp.float32(base_x), w, jnp.asarray(origin),
@@ -477,6 +486,15 @@ def test_bitslab_raycast_matches_dense_bitwise():
             )
             np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
             np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+            occ_win2 = bitslab_window_2d(
+                halves, jnp.int32(base_x), jnp.int32(base_y), w
+            )
+            d3, t3 = raycast_grid_bitslab2d(
+                occ_win2, jnp.float32(base_x), jnp.float32(base_y),
+                jnp.asarray(origin), jnp.asarray(targets),
+            )
+            np.testing.assert_array_equal(np.asarray(d3), np.asarray(d2))
+            np.testing.assert_array_equal(np.asarray(t3), np.asarray(t2))
 
 
 def test_bitslab_env_matches_dense_bitwise():
@@ -492,15 +510,21 @@ def test_bitslab_env_matches_dense_bitwise():
     for env_id in ("LIDARLocRooms-v0", "LIDARLocMazeStatic-v0"):
         venv, p_bs = apx.make_vec(env_id, num_envs=16, raycast_backend="bitslab")
         _, p_dense = apx.make_vec(env_id, num_envs=16, raycast_backend="xla")
+        _, p_2d = apx.make_vec(env_id, num_envs=16, raycast_backend="bitslab2d")
         assert p_bs.use_bitslab and not p_dense.use_bitslab
+        assert p_2d.use_bitslab2d
         # The default ("auto") resolves to bitslab on every registered map.
         _, p_auto = apx.make_vec(env_id, num_envs=16)
         assert p_auto.use_bitslab
         key = jax.random.PRNGKey(11)
         o1, s1, _ = venv.reset(key, p_bs)
         o2, s2, _ = venv.reset(key, p_dense)
+        o3, s3, _ = venv.reset(key, p_2d)
         np.testing.assert_array_equal(
             np.asarray(o1["lidar"]), np.asarray(o2["lidar"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(o3["lidar"]), np.asarray(o2["lidar"])
         )
         step = jax.jit(venv.step)
         for t in range(60):
@@ -511,14 +535,23 @@ def test_bitslab_env_matches_dense_bitwise():
             }
             o1, s1, r1, te1, *_ = step(k, s1, act, p_bs)
             o2, s2, r2, te2, *_ = step(k, s2, act, p_dense)
+            o3, s3, r3, te3, *_ = step(k, s3, act, p_2d)
             np.testing.assert_array_equal(
                 np.asarray(o1["lidar"]), np.asarray(o2["lidar"]), err_msg=f"step {t}"
             )
             np.testing.assert_array_equal(
+                np.asarray(o3["lidar"]), np.asarray(o2["lidar"]), err_msg=f"2d step {t}"
+            )
+            np.testing.assert_array_equal(
                 np.asarray(s1.inner.inner.pos), np.asarray(s2.inner.inner.pos)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(s3.inner.inner.pos), np.asarray(s2.inner.inner.pos)
             )
             np.testing.assert_array_equal(np.asarray(te1), np.asarray(te2))
             np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+            np.testing.assert_array_equal(np.asarray(te3), np.asarray(te2))
+            np.testing.assert_array_equal(np.asarray(r3), np.asarray(r2))
 
 
 def test_beam_tables_match_slab_bitwise():
