@@ -97,9 +97,10 @@ class LIDARLocalizationParams(struct.PyTreeNode):
     #     second variable shift yields a (16, 16) window: 256/(H*W) of the
     #     dense combine work, still zero gathers, still bitwise-equal
     #     (apx.ops.raycast.bitslab_window_2d).
-    #   "auto" (default): "bitslab" whenever eligible (lidar_range fits the
-    #     16-column window and the map is <= 32 cells wide — true for every
-    #     registered env), else the dense "xla" path.
+    #   "auto" (default): "bitslab2d" whenever eligible (lidar_range fits
+    #     the 16-cell window and the map is <= 32 cells in both axes —
+    #     true for every registered env), else "bitslab" (W <= 32), else
+    #     the dense "xla" path.
     raycast_backend: str = struct.field(pytree_node=False, default="auto")
     # Observation-scan beam tables (apx.ops.raycast.lidar_table_scan): one
     # gather per beam instead of the full slab scan. Measured SLOWER in
@@ -152,21 +153,26 @@ class LIDARLocalizationParams(struct.PyTreeNode):
         )
 
     @property
-    def use_bitslab(self) -> bool:
-        return (
-            self.raycast_backend in ("bitslab", "auto")
-            and self.lidar_range <= (self.win_size // 2 - 2)
-            and self.map_bank.map_hw[1] <= 32
-        )
-
-    @property
     def use_bitslab2d(self) -> bool:
         return (
-            self.raycast_backend == "bitslab2d"
+            self.raycast_backend in ("bitslab2d", "auto")
             and self.lidar_range <= (self.win_size // 2 - 2)
             and self.map_bank.map_hw[0] <= 32
             and self.map_bank.map_hw[1] <= 32
         )
+
+    @property
+    def use_bitslab(self) -> bool:
+        if self.raycast_backend == "auto":
+            # auto ladder: bitslab2d > bitslab > dense xla (same-session
+            # A/B: 6.10M / 5.94M / 5.44M env-steps/s, PERF.md round 3).
+            return not self.use_bitslab2d and (
+                self.lidar_range <= (self.win_size // 2 - 2)
+                and self.map_bank.map_hw[1] <= 32
+            )
+        return self.raycast_backend == "bitslab" and self.lidar_range <= (
+            self.win_size // 2 - 2
+        ) and self.map_bank.map_hw[1] <= 32
 
 
 class LIDARLocalizationState(struct.PyTreeNode):

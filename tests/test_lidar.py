@@ -513,9 +513,9 @@ def test_bitslab_env_matches_dense_bitwise():
         _, p_2d = apx.make_vec(env_id, num_envs=16, raycast_backend="bitslab2d")
         assert p_bs.use_bitslab and not p_dense.use_bitslab
         assert p_2d.use_bitslab2d
-        # The default ("auto") resolves to bitslab on every registered map.
+        # The default ("auto") resolves to bitslab2d on every registered map.
         _, p_auto = apx.make_vec(env_id, num_envs=16)
-        assert p_auto.use_bitslab
+        assert p_auto.use_bitslab2d and not p_auto.use_bitslab
         key = jax.random.PRNGKey(11)
         o1, s1, _ = venv.reset(key, p_bs)
         o2, s2, _ = venv.reset(key, p_dense)
