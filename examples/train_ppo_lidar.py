@@ -107,26 +107,30 @@ def logp_gauss(a, mean, logstd):
 # ---------------------------------------------------------------------------
 
 
-def main(num_envs=None, iters=None, quiet=False):
-    num_envs = num_envs or (int(sys.argv[1]) if len(sys.argv) > 1 else 1024)
-    iters = iters or (int(sys.argv[2]) if len(sys.argv) > 2 else 40)
-    rollout_len = 32
-    gamma, lam = 0.99, 0.95
-    clip_eps, ent_coef, vf_coef, pred_coef = 0.2, 1e-3, 0.5, 1.0
-    epochs, num_minibatches = 2, 4
+def make_train_iter(
+    venv,
+    opt,
+    num_envs,
+    rollout_len=32,
+    gamma=0.99,
+    lam=0.95,
+    clip_eps=0.2,
+    ent_coef=1e-3,
+    vf_coef=0.5,
+    pred_coef=1.0,
+    epochs=2,
+    num_minibatches=4,
+):
+    """One full PPO iteration (rollout + GAE + K epochs of minibatch
+    updates) as a single jittable pure function.
 
-    venv, params = apx.make_vec("LIDARLocRooms-v0", num_envs=num_envs)
-    key = jax.random.PRNGKey(0)
-    obs0, state0, _ = venv.reset(key, params)
-    map_hw = params.map_bank.map_hw
+    ``params`` (the env's dataset/map banks) enters as an ARGUMENT, not a
+    closure constant — closed-over arrays are serialized into the compile
+    payload, which is fatal for GB-scale banks (PERF.md round 3). The mesh
+    recipe (train_ppo_mesh.py) jits this same function with shardings.
+    """
 
-    key, knet = jax.random.split(key)
-    net = init_net(knet, map_hw)
-    opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(3e-4))
-    opt_state = opt.init(net)
-
-    @jax.jit
-    def train_iter(net, opt_state, env_state, obs, key):
+    def train_iter(net, opt_state, env_state, obs, key, params):
         # ---- collect one rollout (prediction head trains through the
         # differentiable -loss term inside the composite reward) ----------
         def pred_reward_fn(net):
@@ -243,13 +247,33 @@ def main(num_envs=None, iters=None, quiet=False):
         (net, opt_state), _ = jax.lax.scan(mb_update, (net, opt_state), idxs)
         return net, opt_state, st_f, obs_f, r_t.mean()
 
+    return train_iter
+
+
+def main(num_envs=None, iters=None, quiet=False):
+    num_envs = num_envs or (int(sys.argv[1]) if len(sys.argv) > 1 else 1024)
+    iters = iters or (int(sys.argv[2]) if len(sys.argv) > 2 else 40)
+
+    venv, params = apx.make_vec("LIDARLocRooms-v0", num_envs=num_envs)
+    key = jax.random.PRNGKey(0)
+    obs0, state0, _ = venv.reset(key, params)
+    map_hw = params.map_bank.map_hw
+
+    key, knet = jax.random.split(key)
+    net = init_net(knet, map_hw)
+    opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(3e-4))
+    opt_state = opt.init(net)
+
+    rollout_len = 32
+    train_iter = jax.jit(make_train_iter(venv, opt, num_envs, rollout_len))
+
     t0 = time.perf_counter()
     env_state, obs = state0, obs0
     mean_r = None
     for i in range(iters):
         key, k = jax.random.split(key)
         net, opt_state, env_state, obs, mean_r = train_iter(
-            net, opt_state, env_state, obs, k
+            net, opt_state, env_state, obs, k, params
         )
         if not quiet and (i % 5 == 0 or i == iters - 1):
             print(f"iter {i}: mean step reward {float(mean_r):+.4f}")

@@ -137,6 +137,63 @@ def test_host_sharded_bank_matches_replicated(mesh):
     )
 
 
+def test_mesh_ppo_trains_dp_tp(mesh):
+    """The full PPO learner recipe (examples/train_ppo_mesh.py) on a
+    4x2 (data, model) mesh: the SAME `make_train_iter` function as the
+    single-chip example, parallelized purely by input placement. Checks
+    (a) it executes dp x tp (trunk weights stay model-sharded, env state
+    stays data-sharded after the jitted update), (b) sharding does not
+    change the numerics vs the unsharded single-device run."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from examples.train_ppo_lidar import init_net, make_train_iter
+    from examples.train_ppo_mesh import make_dp_tp_mesh, shard_net
+
+    n, rollout = 16, 4
+    venv, params = apx.make_vec("LIDARLocRooms-v0", num_envs=n)
+    key = jax.random.PRNGKey(3)
+    obs0, state0, _ = venv.reset(key, params)
+    net0 = init_net(jax.random.PRNGKey(4), params.map_bank.map_hw)
+    opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(3e-4))
+    train_iter = jax.jit(
+        make_train_iter(venv, opt, n, rollout, num_minibatches=2)
+    )
+
+    # Unsharded single-device baseline.
+    ref_net, _, _, _, ref_r = train_iter(
+        net0, opt.init(net0), state0, obs0, key, params
+    )
+
+    mesh2 = make_dp_tp_mesh(jax.devices()[:8])
+    assert mesh2.devices.shape == (4, 2)
+    dp = NamedSharding(mesh2, P("data"))
+    rep = NamedSharding(mesh2, P())
+    snet = shard_net(net0, mesh2)
+    s_net, _, s_state, _, s_r = train_iter(
+        snet,
+        opt.init(snet),
+        jax.device_put(state0, dp),
+        jax.device_put(obs0, dp),
+        key,
+        jax.device_put(params, rep),
+    )
+
+    # (a) really dp x tp after the update.
+    assert len(s_net["trunk"]["w"].sharding.device_set) == 8
+    assert not s_net["trunk"]["w"].sharding.is_fully_replicated
+    assert len(jax.tree_util.tree_leaves(s_state)[0].sharding.device_set) == 8
+    # (b) numerics: the first rollout runs under identical nets, so the
+    # mean reward matches tightly; the updated weights admit only
+    # reduction-order drift.
+    np.testing.assert_allclose(float(ref_r), float(s_r), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ref_net["trunk"]["w"]),
+        np.asarray(s_net["trunk"]["w"]),
+        atol=2e-5,
+    )
+
+
 def test_multihost_bench_entry(mesh):
     """bench.py --multihost path: sharded_rollout over the virtual mesh."""
     import bench as bench_mod
