@@ -49,6 +49,18 @@ class ImagePerceptionParams(struct.PyTreeNode):
         pytree_node=False, default=0.2
     )
     unique_sampling_top_k: int = struct.field(pytree_node=False, default=10)
+    # Candidate-glimpse sweep backend for the unique-target sampler:
+    #   "cartesian" (chosen by "auto", the default): the candidate grid is a
+    #     cartesian product of x- and y-lines, so the separable-GEMM glimpse
+    #     factorizes over the grid axes — the row GEMM runs once per unique y
+    #     (not once per candidate) and its (c1, s0, W, C) intermediate is
+    #     reused across all x-columns: ~6x fewer MACs than per-candidate
+    #     extraction on TinyImageNet geometry and no chunking needed (the
+    #     intermediate is c1*s0 rows, not P*s0).
+    #   "chunked": per-candidate extraction in sequential lax.map chunks
+    #     (the round-1 OOM fix); kept for A/B and as the memory-proportional
+    #     fallback.
+    unique_sampling_backend: str = struct.field(pytree_node=False, default="auto")
     # Render-only knobs (ImagePerceptionConfig defaults, module.py:27-29).
     display_visitation: bool = struct.field(pytree_node=False, default=True)
     render_unvisited_opacity: float = struct.field(pytree_node=False, default=0.0)
@@ -204,19 +216,35 @@ class ImagePerceptionEngine:
         )
 
     @staticmethod
-    def unique_target_top_k(
+    def candidate_axes(params: ImagePerceptionParams) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """The candidate grid's generating axes: (xs (c0,), ys (c1,)) f32,
+        such that candidate_grid()[0][i*c1 + j] == (xs[i], ys[j]) exactly
+        (same np.linspace values, same f32 cast)."""
+        import numpy as np
+
+        h, w, _ = params.dataset.image_shape
+        s0, s1 = params.sensor_size
+        eff = np.array([s0, s1]) * params.sensor_scale
+        lim = np.array(
+            [(w - 1) / 2 - (eff[0] - 1) / 2, (h - 1) / 2 - (eff[1] - 1) / 2]
+        )
+        max_cell = eff / lim * params.unique_sampling_max_grid_cell_size_rel
+        counts = np.ceil(2.0 / max_cell).astype(int)
+        return (
+            jnp.asarray(np.linspace(-1, 1, counts[0]), dtype=jnp.float32),
+            jnp.asarray(np.linspace(-1, 1, counts[1]), dtype=jnp.float32),
+        )
+
+    @staticmethod
+    def _candidate_flat_chunked(
         state: ImagePerceptionState, params: ImagePerceptionParams
     ) -> jnp.ndarray:
-        """(top_k,) candidate indices ranked by uniqueness. The pairwise MSE
-        score is a Gram-matrix computation that runs on the MXU:
-        mse(a,b) = (|a|^2 + |b|^2 - 2 a.b) / d. Ranking mirrors the
-        reference's argsort(-uniqueness) (module.py:276-278)."""
+        """(P, s0*s1*C) candidate glimpses by per-candidate extraction in
+        sequential lax.map chunks: the per-candidate intermediate is
+        (P, s0, W, C) per env — 23 GB at 4096 envs on TinyImageNet — while
+        the flat result is small; chunks bound live memory."""
         candidates, _ = ImagePerceptionEngine.candidate_grid(params)
         p = candidates.shape[0]
-        # Chunked lax.map, not one big vmap: the per-candidate glimpse
-        # intermediate is (P, s0, W, C) per env — 23 GB at 4096 envs on
-        # TinyImageNet — while the flat (P, s0*s1*C) result is small.
-        # Sequential chunks bound live memory to one chunk per env.
         chunk = 27
         pad = (-p) % chunk
         cands = jnp.concatenate(
@@ -229,7 +257,72 @@ class ImagePerceptionEngine:
             )(c)
             return g.reshape(chunk, -1)
 
-        flat = jax.lax.map(chunk_glimpses, cands).reshape(p + pad, -1)[:p]
+        return jax.lax.map(chunk_glimpses, cands).reshape(p + pad, -1)[:p]
+
+    @staticmethod
+    def _candidate_flat_cartesian(
+        state: ImagePerceptionState, params: ImagePerceptionParams
+    ) -> jnp.ndarray:
+        """(P, s0*s1*C) candidate glimpses via the grid's cartesian
+        structure: glimpse rows depend only on the candidate's y, columns
+        only on its x (apx.ops.glimpse coordinate conventions), so the row
+        GEMM runs once per unique y and is reused across every x-column.
+        Work: c1*s0*H*W*C + P*s0*s1*W*C MACs vs P*s0*(H+s1)*W*C for
+        per-candidate extraction (~6x less on TinyImageNet geometry), with
+        a (c1, s0, W, C) intermediate — small enough to skip chunking.
+        Coordinate/weight math mirrors glimpse_coords/extract_glimpse
+        op-for-op (module.py:294-331 conventions)."""
+        from ..ops.glimpse import interp_weights, sensor_pos_lim_pixels
+
+        h, w, ch = state.image.shape
+        s0, s1 = params.sensor_size
+        xs, ys = ImagePerceptionEngine.candidate_axes(params)
+        c0, c1 = xs.shape[0], ys.shape[0]
+        lim = sensor_pos_lim_pixels((h, w), params.sensor_size, params.sensor_scale)
+        x_pix = xs * lim[0] + (w - 1) / 2.0  # (c0,)
+        y_pix = ys * lim[1] + (h - 1) / 2.0  # (c1,)
+        off0 = (
+            jnp.arange(s0, dtype=jnp.float32) - (s0 - 1) / 2.0
+        ) * params.sensor_scale
+        off1 = (
+            jnp.arange(s1, dtype=jnp.float32) - (s1 - 1) / 2.0
+        ) * params.sensor_scale
+        rows = y_pix[:, None] + off0[None, :]  # (c1, s0)
+        cols = x_pix[:, None] + off1[None, :]  # (c0, s1)
+        w_rows = jax.vmap(lambda r: interp_weights(r, h))(rows)  # (c1, s0, H)
+        w_cols = jax.vmap(lambda c: interp_weights(c, w))(cols)  # (c0, s1, W)
+        img_f = state.image.astype(jnp.float32)
+        if state.image.dtype == jnp.uint8:
+            img_f = img_f / 255.0
+        tmp = jax.vmap(
+            lambda wr: jnp.einsum(
+                "sh,hwc->swc", wr, img_f, precision=jax.lax.Precision.HIGHEST
+            )
+        )(w_rows)  # (c1, s0, W, C)
+        out = jax.vmap(  # over x-columns (i)
+            lambda wc: jax.vmap(  # over y-rows (j), reusing tmp
+                lambda t: jnp.einsum(
+                    "swc,tw->stc", t, wc, precision=jax.lax.Precision.HIGHEST
+                )
+            )(tmp)
+        )(w_cols)  # (c0, c1, s0, s1, C)
+        out = jnp.clip(out, 0.0, 1.0)
+        # candidate_grid ordering: index k = i*c1 + j.
+        return out.reshape(c0 * c1, s0 * s1 * ch)
+
+    @staticmethod
+    def unique_target_top_k(
+        state: ImagePerceptionState, params: ImagePerceptionParams
+    ) -> jnp.ndarray:
+        """(top_k,) candidate indices ranked by uniqueness. The pairwise MSE
+        score is a Gram-matrix computation that runs on the MXU:
+        mse(a,b) = (|a|^2 + |b|^2 - 2 a.b) / d. Ranking mirrors the
+        reference's argsort(-uniqueness) (module.py:276-278)."""
+        if params.unique_sampling_backend in ("auto", "cartesian"):
+            flat = ImagePerceptionEngine._candidate_flat_cartesian(state, params)
+        else:
+            flat = ImagePerceptionEngine._candidate_flat_chunked(state, params)
+        p = flat.shape[0]
         d = flat.shape[-1]
         sq = jnp.sum(flat * flat, axis=-1)
         gram = flat @ flat.T

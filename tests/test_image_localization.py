@@ -73,6 +73,27 @@ def test_autoreset_uses_old_target_for_loss_and_resamples_uniform():
     assert not np.allclose(np.asarray(state.inner.target), old_target)
 
 
+def test_candidate_sweep_backends_agree():
+    """The cartesian-factorized candidate sweep (the "auto" default) must
+    reproduce the chunked per-candidate extraction: same glimpses up to
+    einsum reduction-order drift (~1e-6), same top-k ranking."""
+    env, params, venv = make(n=3)
+    assert params.unique_sampling_backend == "auto"
+    key = jax.random.PRNGKey(9)
+    _, state, _ = venv.reset(key, params)
+    for i in range(3):
+        perc = jax.tree_util.tree_map(lambda x: x[i], state.inner.perception)
+        a = ImagePerceptionEngine._candidate_flat_chunked(perc, params)
+        b = ImagePerceptionEngine._candidate_flat_cartesian(perc, params)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        ka = ImagePerceptionEngine.unique_target_top_k(perc, params)
+        kb = ImagePerceptionEngine.unique_target_top_k(
+            perc, params.replace(unique_sampling_backend="chunked")
+        )
+        np.testing.assert_array_equal(np.asarray(ka), np.asarray(kb))
+
+
 def test_unique_sampler_prefers_distinct_glimpses():
     """The sampler must replicate the reference scoring: pairwise MSE over
     candidate glimpses, pick among the top-k most unique
