@@ -61,6 +61,11 @@ class ImagePerceptionParams(struct.PyTreeNode):
     #     (the round-1 OOM fix); kept for A/B and as the memory-proportional
     #     fallback.
     unique_sampling_backend: str = struct.field(pytree_node=False, default="auto")
+    # MXU pass count for the glimpse einsums: "default" (1 bf16 pass — the
+    # TPU platform default; +42% measured on TinyImageNetLoc), "high"
+    # (3 passes, ~4e-5 obs error), "highest" (6 passes, exact-f32 — use for
+    # cross-backend parity work). No-op on CPU. See apx.ops.glimpse.
+    glimpse_precision: str = struct.field(pytree_node=False, default="default")
     # Render-only knobs (ImagePerceptionConfig defaults, module.py:27-29).
     display_visitation: bool = struct.field(pytree_node=False, default=True)
     render_unvisited_opacity: float = struct.field(pytree_node=False, default=0.0)
@@ -160,7 +165,11 @@ class ImagePerceptionEngine:
         state: ImagePerceptionState, pos: jax.Array, params: ImagePerceptionParams
     ) -> jax.Array:
         return extract_glimpse(
-            state.image, pos, params.sensor_size, params.sensor_scale
+            state.image,
+            pos,
+            params.sensor_size,
+            params.sensor_scale,
+            precision=params.glimpse_precision,
         )
 
     @staticmethod
@@ -272,7 +281,7 @@ class ImagePerceptionEngine:
         a (c1, s0, W, C) intermediate — small enough to skip chunking.
         Coordinate/weight math mirrors glimpse_coords/extract_glimpse
         op-for-op (module.py:294-331 conventions)."""
-        from ..ops.glimpse import interp_weights, sensor_pos_lim_pixels
+        from ..ops.glimpse import PRECISIONS, interp_weights, sensor_pos_lim_pixels
 
         h, w, ch = state.image.shape
         s0, s1 = params.sensor_size
@@ -294,16 +303,13 @@ class ImagePerceptionEngine:
         img_f = state.image.astype(jnp.float32)
         if state.image.dtype == jnp.uint8:
             img_f = img_f / 255.0
+        prec = PRECISIONS[params.glimpse_precision]
         tmp = jax.vmap(
-            lambda wr: jnp.einsum(
-                "sh,hwc->swc", wr, img_f, precision=jax.lax.Precision.HIGHEST
-            )
+            lambda wr: jnp.einsum("sh,hwc->swc", wr, img_f, precision=prec)
         )(w_rows)  # (c1, s0, W, C)
         out = jax.vmap(  # over x-columns (i)
             lambda wc: jax.vmap(  # over y-rows (j), reusing tmp
-                lambda t: jnp.einsum(
-                    "swc,tw->stc", t, wc, precision=jax.lax.Precision.HIGHEST
-                )
+                lambda t: jnp.einsum("swc,tw->stc", t, wc, precision=prec)
             )(tmp)
         )(w_cols)  # (c0, c1, s0, s1, C)
         out = jnp.clip(out, 0.0, 1.0)

@@ -83,33 +83,53 @@ def glimpse_coords(
     return rows, cols
 
 
-@functools.partial(jax.jit, static_argnames=("sensor_size", "sensor_scale"))
+#: Measured max |error| vs a float64 oracle on TinyImageNet geometry
+#: (uint8/255 inputs, 10x10 sensor; /tmp precision-ladder study, PERF.md
+#: round 3): "highest" 1.7e-7, "high" 3.9e-5, "default" 5.5e-3.
+PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sensor_size", "sensor_scale", "precision")
+)
 def extract_glimpse(
     image: jnp.ndarray,
     pos_norm: jnp.ndarray,
     sensor_size: tuple[int, int],
     sensor_scale: float = 1.0,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Extract one (s0, s1, C) glimpse from an (H, W, C) image at normalized
-    position (x, y). Pure function of its inputs; differentiable."""
+    position (x, y). Pure function of its inputs; differentiable.
+
+    ``precision`` sets the MXU pass count of the two einsums ("highest" =
+    6 bf16 passes ~ exact f32, "high" = 3, "default" = 1, the platform
+    default). The op-level default stays "highest" (parity work calls this
+    directly); the env engine threads its own ``glimpse_precision`` param,
+    whose default is "default" — the batched glimpse is ISSUE-bound, not
+    FLOP-bound (tiny per-env matmuls), and dropping to one pass measured
+    +42% end-to-end on TinyImageNetLoc with 5.5e-3 max observation error
+    (rewards never flow through glimpses — losses compare predictions to
+    targets — so only the agent's input carries the noise). On CPU the
+    setting is a no-op (true f32 math everywhere)."""
     h, w, c = image.shape
     rows, cols = glimpse_coords(pos_norm, (h, w), sensor_size, sensor_scale)
     w_rows = interp_weights(rows, h)  # (s0, H)
     w_cols = interp_weights(cols, w)  # (s1, W)
     # (s0, H) @ (H, W*C) -> (s0, W*C); then per-channel (s0, W) @ (W, s1).
-    # HIGHEST precision: glimpses are observations, bf16 MXU passes would put
-    # ~3e-3 noise on them; these GEMMs are tiny so full f32 costs nothing.
     # uint8 banks stay uint8 in env state/HBM; the /255 conversion happens
-    # here on the freshly-read tile (fused by XLA into the matmul operand).
+    # here on the freshly-read tile (uint8 reads + convert measured FASTER
+    # than reading a pre-converted f32 bank: 1.69 vs 1.97 ms/batch).
+    prec = PRECISIONS[precision]
     img_f = image.astype(jnp.float32)
     if image.dtype == jnp.uint8:
         img_f = img_f / 255.0
-    tmp = jnp.einsum(
-        "sh,hwc->swc", w_rows, img_f, precision=jax.lax.Precision.HIGHEST
-    )
-    out = jnp.einsum(
-        "swc,tw->stc", tmp, w_cols, precision=jax.lax.Precision.HIGHEST
-    )
+    tmp = jnp.einsum("sh,hwc->swc", w_rows, img_f, precision=prec)
+    out = jnp.einsum("swc,tw->stc", tmp, w_cols, precision=prec)
     return jnp.clip(out, 0.0, 1.0)
 
 
@@ -118,7 +138,10 @@ def extract_glimpse_batch(
     pos_norm: jnp.ndarray,
     sensor_size: tuple[int, int],
     sensor_scale: float = 1.0,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """(N, H, W, C) x (N, 2) -> (N, s0, s1, C), batched GEMMs on the MXU."""
-    fn = lambda img, pos: extract_glimpse(img, pos, sensor_size, sensor_scale)
+    fn = lambda img, pos: extract_glimpse(
+        img, pos, sensor_size, sensor_scale, precision=precision
+    )
     return jax.vmap(fn)(images, pos_norm)
