@@ -51,11 +51,20 @@ class BankImageDataset(ImageDataset):
     uint8 banks are converted to float32/255 *after* the per-episode gather,
     so HBM traffic at reset is 4x smaller than a float bank
     (cf. image_classification_dataset.py:66-84 normalization rules).
+
+    uint8 banks whose row size divides by 4 are stored int32-PACKED
+    ((D, H*W*C/4), ``packed_shape`` holds the logical (H, W, C)): TPU
+    gathers are per-ELEMENT-cost-bound, so fetching 4x fewer 4-byte words
+    measured 29% faster than the same bytes as uint8 (846 -> 601 us for a
+    chained 4096-row gather from a 60k-row MNIST-shaped bank, PERF.md
+    round 3). ``fetch_raw`` bitcasts back after the gather — bitwise
+    identical bytes, uint8 to every consumer.
     """
 
     images: jax.Array
     labels: jax.Array
     n_classes: int = struct.field(pytree_node=False)
+    packed_shape: tuple | None = struct.field(pytree_node=False, default=None)
 
     @property
     def length(self) -> int:
@@ -67,7 +76,18 @@ class BankImageDataset(ImageDataset):
 
     @property
     def image_shape(self) -> tuple[int, int, int]:
+        if self.packed_shape is not None:
+            return self.packed_shape
         return tuple(self.images.shape[1:])  # type: ignore[return-value]
+
+    @property
+    def images_unpacked(self) -> jax.Array:
+        """(D, H, W, C) view in the logical dtype (uint8 for packed banks)."""
+        if self.packed_shape is None:
+            return self.images
+        d = self.images.shape[0]
+        u8 = jax.lax.bitcast_convert_type(self.images, jnp.uint8)
+        return u8.reshape((d,) + self.packed_shape)
 
     def fetch(self, idx: jax.Array) -> tuple[jax.Array, jax.Array]:
         img, label = self.fetch_raw(idx)
@@ -79,6 +99,9 @@ class BankImageDataset(ImageDataset):
 
     def fetch_raw(self, idx: jax.Array) -> tuple[jax.Array, jax.Array]:
         img = jnp.take(self.images, idx, axis=0)
+        if self.packed_shape is not None:
+            u8 = jax.lax.bitcast_convert_type(img, jnp.uint8)  # (..., P, 4)
+            img = u8.reshape(jnp.shape(idx) + self.packed_shape)
         label = jnp.take(self.labels, idx, axis=0).astype(jnp.int32)
         return img, label
 
@@ -86,9 +109,21 @@ class BankImageDataset(ImageDataset):
     def from_numpy(images: np.ndarray, labels: np.ndarray, num_classes: int) -> "BankImageDataset":
         """Build from host arrays, applying the reference normalization rules
         (uint8 stays uint8 for HBM economy; HW -> HWC; grayscale->RGB handled
-        by the ingestion code)."""
+        by the ingestion code). uint8 rows divisible by 4 pack to int32."""
         if images.ndim == 3:
             images = images[..., None]
+        shape = tuple(images.shape[1:])
+        row = int(np.prod(shape))
+        if images.dtype == np.uint8 and row % 4 == 0:
+            packed = np.ascontiguousarray(images).reshape(
+                images.shape[0], row
+            ).view(np.int32)
+            return BankImageDataset(
+                images=jnp.asarray(packed),
+                labels=jnp.asarray(labels.astype(np.int32)),
+                n_classes=int(num_classes),
+                packed_shape=shape,
+            )
         return BankImageDataset(
             images=jnp.asarray(images),
             labels=jnp.asarray(labels.astype(np.int32)),

@@ -126,6 +126,31 @@ def test_float_images_not_rescaled():
     np.testing.assert_allclose(np.asarray(got), imgs[2], rtol=1e-6)
 
 
+def test_uint8_banks_pack_to_int32():
+    """uint8 banks with 4-divisible rows store int32-packed (faster TPU
+    gathers, PERF.md round 3); fetch_raw bitcasts back bitwise."""
+    from apx.data.dataset import BankImageDataset
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (7, 4, 4, 1), dtype=np.uint8)
+    bank = BankImageDataset.from_numpy(imgs, np.arange(7) % 2, num_classes=2)
+    assert np.asarray(bank.images).dtype == np.int32
+    assert bank.packed_shape == (4, 4, 1)
+    assert bank.image_shape == (4, 4, 1)
+    got, lbl = bank.fetch_raw(np.array([3, 0, 6], np.int32))
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(got), imgs[[3, 0, 6]])
+    np.testing.assert_array_equal(np.asarray(bank.images_unpacked), imgs)
+    # scalar fetch (the vmapped per-env reset form)
+    got1, _ = bank.fetch_raw(np.int32(5))
+    np.testing.assert_array_equal(np.asarray(got1), imgs[5])
+    # non-divisible rows stay unpacked uint8
+    imgs2 = rng.integers(0, 256, (3, 3, 3, 1), dtype=np.uint8)
+    bank2 = BankImageDataset.from_numpy(imgs2, np.zeros(3), num_classes=1)
+    assert np.asarray(bank2.images).dtype == np.uint8
+    assert bank2.packed_shape is None
+
+
 def test_channel_mismatch_raises():
     dd = _fixture(channels=3)
     with pytest.raises(ValueError, match="channels"):
