@@ -318,6 +318,12 @@ def main():
         "fingerprint and a calibration number (for PERF_rN.json)",
     )
     ap.add_argument(
+        "--glimpse-precision", default=None,
+        choices=["default", "high", "highest"],
+        help="override the image envs' glimpse_precision param (A/B the "
+        "MXU pass-count ladder, PERF.md round 3)",
+    )
+    ap.add_argument(
         "--ab-banks", action="store_true",
         help="same-process A/B: each banked env at the capped-synthetic size "
         "AND its real split size (the only comparison that survives the "
@@ -386,6 +392,8 @@ def main():
                 continue  # env family not built yet
             name = "circle_square"
             venv, params, baseline = _make(name, args.num_envs, None)
+        if args.glimpse_precision and hasattr(params, "glimpse_precision"):
+            params = params.replace(glimpse_precision=args.glimpse_precision)
         if args.profile:
             with jax.profiler.trace(args.profile):
                 sps = bench_env(venv, params, args.steps, key)
