@@ -78,3 +78,46 @@ def test_checkpoint_roundtrip(tmp_path):
     o1, s1, r1, *_ = venv.step(key, state, act, params)
     o2, s2, r2, *_ = venv.step(key, restored, act, params)
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_learner_checkpoint_resume_bit_identical(tmp_path):
+    """Mid-TRAINING checkpoint/resume: the full PPO train state (net +
+    optimizer moments + env state + obs + key) orbax-round-trips and the
+    continued training run is bit-identical to the uninterrupted one."""
+    pytest.importorskip("orbax.checkpoint")
+    import optax
+
+    from apx.utils import restore_state, save_state
+    from examples.train_ppo_lidar import init_net, make_train_iter
+
+    n, rollout = 8, 4
+    venv, params = apx.make_vec("LIDARLocRooms-v0", num_envs=n)
+    key = jax.random.PRNGKey(11)
+    obs, env_state, _ = venv.reset(key, params)
+    net = init_net(jax.random.PRNGKey(12), params.map_bank.map_hw)
+    opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(3e-4))
+    opt_state = opt.init(net)
+    train_iter = jax.jit(
+        make_train_iter(venv, opt, n, rollout, num_minibatches=2)
+    )
+
+    def run(steps, carry):
+        net, opt_state, env_state, obs, key = carry
+        for _ in range(steps):
+            key, k = jax.random.split(key)
+            net, opt_state, env_state, obs, _ = train_iter(
+                net, opt_state, env_state, obs, k, params
+            )
+        return net, opt_state, env_state, obs, key
+
+    carry = run(2, (net, opt_state, env_state, obs, key))
+    save_state(str(tmp_path / "train_ck"), carry)
+    final_a = run(2, carry)
+
+    restored = restore_state(str(tmp_path / "train_ck"), carry)
+    final_b = run(2, restored)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(final_a[0]),
+        jax.tree_util.tree_leaves(final_b[0]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
