@@ -122,3 +122,24 @@ def test_uint8_bank_glimpse_matches_f32():
     np.testing.assert_allclose(
         np.asarray(g_u8), np.asarray(g_f32), atol=1.2e-7, rtol=0
     )
+
+
+def test_glimpse_study_tap2_matches_gemm():
+    """The glimpse_study's measured-slower tap2 variant is semantically the
+    same bilinear (<= 1e-5 of the GEMM on random + boundary positions) —
+    pins the study's correctness claim on CPU."""
+    import jax
+
+    from apx.ops.glimpse_study import tap2_glimpse
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.integers(0, 256, (8, 64, 64, 3), dtype=np.uint8))
+    pos = jnp.concatenate(
+        [
+            jax.random.uniform(jax.random.PRNGKey(4), (4, 2), minval=-1, maxval=1),
+            jnp.array([[1.0, 1.0], [-1.0, -1.0], [0.0, 1.0], [1.0, -1.0]]),
+        ]
+    )
+    ref = jax.vmap(lambda i, p: extract_glimpse(i, p, (10, 10), 1.0))(img, pos)
+    tap = jax.vmap(tap2_glimpse)(img, pos)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(tap), atol=1e-5)
