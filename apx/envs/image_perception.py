@@ -199,8 +199,11 @@ class ImagePerceptionEngine:
     # uniqueness score over their glimpses, uniform pick among top-k, jitter.
     # ------------------------------------------------------------------
     @staticmethod
-    def candidate_grid(params: ImagePerceptionParams) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Static (P, 2) candidate positions and (2,) max cell size."""
+    def _candidate_axes_np(params: ImagePerceptionParams):
+        """Host-side generating axes of the candidate grid (xs (c0,),
+        ys (c1,), max_cell (2,)) — the single source of the grid geometry
+        (module.py:253-270 cell-size rules); candidate_grid() and
+        candidate_axes() are both derived from it."""
         import numpy as np
 
         h, w, _ = params.dataset.image_shape
@@ -212,14 +215,20 @@ class ImagePerceptionEngine:
         sensor_size_norm = eff / lim
         max_cell = sensor_size_norm * params.unique_sampling_max_grid_cell_size_rel
         counts = np.ceil(2.0 / max_cell).astype(int)
-        grid = np.stack(
-            np.meshgrid(
-                np.linspace(-1, 1, counts[0]),
-                np.linspace(-1, 1, counts[1]),
-                indexing="ij",
-            ),
-            axis=-1,
-        ).reshape(-1, 2)
+        return (
+            np.linspace(-1, 1, counts[0]),
+            np.linspace(-1, 1, counts[1]),
+            max_cell,
+        )
+
+    @staticmethod
+    def candidate_grid(params: ImagePerceptionParams) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Static (P, 2) candidate positions and (2,) max cell size;
+        position k = i*c1 + j is (xs[i], ys[j]) of candidate_axes."""
+        import numpy as np
+
+        xs, ys, max_cell = ImagePerceptionEngine._candidate_axes_np(params)
+        grid = np.stack(np.meshgrid(xs, ys, indexing="ij"), axis=-1).reshape(-1, 2)
         return jnp.asarray(grid, dtype=jnp.float32), jnp.asarray(
             max_cell, dtype=jnp.float32
         )
@@ -228,21 +237,9 @@ class ImagePerceptionEngine:
     def candidate_axes(params: ImagePerceptionParams) -> tuple[jnp.ndarray, jnp.ndarray]:
         """The candidate grid's generating axes: (xs (c0,), ys (c1,)) f32,
         such that candidate_grid()[0][i*c1 + j] == (xs[i], ys[j]) exactly
-        (same np.linspace values, same f32 cast)."""
-        import numpy as np
-
-        h, w, _ = params.dataset.image_shape
-        s0, s1 = params.sensor_size
-        eff = np.array([s0, s1]) * params.sensor_scale
-        lim = np.array(
-            [(w - 1) / 2 - (eff[0] - 1) / 2, (h - 1) / 2 - (eff[1] - 1) / 2]
-        )
-        max_cell = eff / lim * params.unique_sampling_max_grid_cell_size_rel
-        counts = np.ceil(2.0 / max_cell).astype(int)
-        return (
-            jnp.asarray(np.linspace(-1, 1, counts[0]), dtype=jnp.float32),
-            jnp.asarray(np.linspace(-1, 1, counts[1]), dtype=jnp.float32),
-        )
+        (both derive from _candidate_axes_np, same f32 cast)."""
+        xs, ys, _ = ImagePerceptionEngine._candidate_axes_np(params)
+        return jnp.asarray(xs, dtype=jnp.float32), jnp.asarray(ys, dtype=jnp.float32)
 
     @staticmethod
     def _candidate_flat_chunked(
@@ -324,10 +321,16 @@ class ImagePerceptionEngine:
         score is a Gram-matrix computation that runs on the MXU:
         mse(a,b) = (|a|^2 + |b|^2 - 2 a.b) / d. Ranking mirrors the
         reference's argsort(-uniqueness) (module.py:276-278)."""
-        if params.unique_sampling_backend in ("auto", "cartesian"):
+        backend = params.unique_sampling_backend
+        if backend in ("auto", "cartesian"):
             flat = ImagePerceptionEngine._candidate_flat_cartesian(state, params)
-        else:
+        elif backend == "chunked":
             flat = ImagePerceptionEngine._candidate_flat_chunked(state, params)
+        else:
+            raise ValueError(
+                f"unknown unique_sampling_backend {backend!r}; "
+                "expected 'auto', 'cartesian' or 'chunked'"
+            )
         p = flat.shape[0]
         d = flat.shape[-1]
         sq = jnp.sum(flat * flat, axis=-1)

@@ -363,20 +363,28 @@ def main():
     key = jax.random.key(0)
     fp = device_fingerprint()
 
+    def _apply_overrides(params):
+        if args.glimpse_precision and hasattr(params, "glimpse_precision"):
+            params = params.replace(glimpse_precision=args.glimpse_precision)
+        return params
+
     if args.ab_banks:
         for name, real in sorted(BANKED.items()):
             for pts in (8192, real):
                 venv, params, baseline = _make(name, args.num_envs, pts)
-                sps = bench_env(venv, params, args.steps, key)
-                print(json.dumps({
+                params = _apply_overrides(params)
+                rec = {
                     "metric": f"{name}_env_steps_per_s",
-                    "value": round(sps, 1),
+                    "value": round(bench_env(venv, params, args.steps, key), 1),
                     "unit": "env-steps/s",
-                    "vs_baseline": round(sps / baseline, 3),
                     "num_envs": args.num_envs,
                     "bank_points": pts,
                     "device_kind": fp["device_kind"],
-                }), flush=True)
+                }
+                rec["vs_baseline"] = round(rec["value"] / baseline, 3)
+                if args.glimpse_precision:
+                    rec["glimpse_precision"] = args.glimpse_precision
+                print(json.dumps(rec), flush=True)
         return
 
     names = sorted(BENCHES) if args.all else [args.env]
@@ -392,8 +400,7 @@ def main():
                 continue  # env family not built yet
             name = "circle_square"
             venv, params, baseline = _make(name, args.num_envs, None)
-        if args.glimpse_precision and hasattr(params, "glimpse_precision"):
-            params = params.replace(glimpse_precision=args.glimpse_precision)
+        params = _apply_overrides(params)
         if args.profile:
             with jax.profiler.trace(args.profile):
                 sps = bench_env(venv, params, args.steps, key)
@@ -409,6 +416,8 @@ def main():
         }
         if name in BANKED:
             rec["bank_points"] = bank_points or "default"
+        if args.glimpse_precision and hasattr(params, "glimpse_precision"):
+            rec["glimpse_precision"] = args.glimpse_precision
         records.append(rec)
         print(json.dumps(rec), flush=True)
 

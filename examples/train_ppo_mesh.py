@@ -26,17 +26,25 @@ with NamedShardings) plus GSPMD propagation through the jitted
 the net's shardings because `opt.init` runs on the already-placed net.
 
 Run: python examples/train_ppo_mesh.py [num_envs] [iterations]
-(on a single-chip/CPU host it self-configures a virtual 8-device CPU
-mesh; on a real slice it uses all devices, e.g. 4 data x 2 model on 8).
-Validated on the virtual mesh by tests/test_distrib.py.
+On a real multi-device slice it uses all devices (e.g. 4 data x 2 model
+on 8 chips). With fewer than 2 devices it re-execs itself onto a virtual
+8-device CPU mesh (announced on stderr) so the recipe stays runnable
+anywhere; pass --virtual to force that mode directly. Validated on the
+virtual mesh by tests/test_distrib.py.
 """
 
 import os
 import sys
 
-_FORCE_VIRTUAL = __name__ == "__main__" and "--real-devices" not in sys.argv
+_FORCE_VIRTUAL = __name__ == "__main__" and "--virtual" in sys.argv
 if _FORCE_VIRTUAL:
-    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    # Append (not setdefault): a pre-existing XLA_FLAGS must not silently
+    # swallow the device-count flag and degrade this to a 1x1 mesh.
+    if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
@@ -47,6 +55,15 @@ import jax
 
 if _FORCE_VIRTUAL:
     jax.config.update("jax_platforms", "cpu")
+
+if __name__ == "__main__" and not _FORCE_VIRTUAL and jax.device_count() < 2:
+    print(
+        "train_ppo_mesh: only 1 device visible — re-exec'ing onto a "
+        "virtual 8-device CPU mesh (pass --virtual to silence this)",
+        file=sys.stderr,
+        flush=True,
+    )
+    os.execv(sys.executable, [sys.executable, *sys.argv, "--virtual"])
 
 import numpy as np
 import optax
