@@ -106,6 +106,15 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
             # in the bank, so bank-indexed beam tables must not be used.
             params = params.replace(use_beam_tables=False)
             self.params = params
+        if (
+            self.rng == "reference"
+            and getattr(params, "glimpse_precision", "highest") != "highest"
+        ):
+            # Parity mode pins exact-f32 glimpses: the fast default (one
+            # bf16 MXU pass, PERF.md round 3) would put ~5e-3 on TPU
+            # observations vs the reference. No-op on CPU either way.
+            params = params.replace(glimpse_precision="highest")
+            self.params = params
 
         self._dense_loss = env.loss_fn(params)
         self._loss = WeightedLossFn(inner=self._dense_loss) if sparse else self._dense_loss

@@ -528,3 +528,15 @@ def test_seed_determinism_across_instances():
             ra[0]["noisy_position"], rb[0]["noisy_position"]
         )
         assert ra[1] == rb[1]
+
+
+def test_parity_mode_pins_exact_glimpse_precision():
+    """rng="reference" (the drop-in parity mode) forces exact-f32 glimpses
+    even where the native default is the fast one-MXU-pass setting
+    (gym_env.py parity overrides; no-op on CPU, matters on TPU)."""
+    import apx.compat as apc
+
+    e_ref = apc.make("MNIST-v0")
+    assert e_ref.params.glimpse_precision == "highest"
+    e_nat = apc.make("MNIST-v0", rng="native")
+    assert e_nat.params.glimpse_precision == "default"
