@@ -331,14 +331,42 @@ class ImagePerceptionEngine:
                 f"unknown unique_sampling_backend {backend!r}; "
                 "expected 'auto', 'cartesian' or 'chunked'"
             )
-        p = flat.shape[0]
-        d = flat.shape[-1]
-        sq = jnp.sum(flat * flat, axis=-1)
-        gram = flat @ flat.T
-        diff = (sq[:, None] + sq[None, :] - 2.0 * gram) / d
-        diff = diff + jnp.diag(jnp.full((p,), jnp.inf, dtype=diff.dtype))
-        uniqueness = jnp.min(diff, axis=-1)
+        uniqueness = ImagePerceptionEngine._min_pairwise_mse(flat)
         return jnp.argsort(-uniqueness)[: params.unique_sampling_top_k]
+
+    @staticmethod
+    def _min_pairwise_mse(flat: jnp.ndarray) -> jnp.ndarray:
+        """(P,) min over j != i of mse(flat_i, flat_j), Gram rows computed
+        in sequential row BLOCKS with a running min: the full (P, P) Gram is
+        2.1 MB/env on TinyImageNet geometry and was the OOM cliff that
+        capped the env batch at 4096 (an explicit reset at N=8192 needed
+        ~26 GB); blockwise, peak is P_BLOCK*P + the (P, d) glimpses.
+        min is exact, so the result equals the dense form's."""
+        p, d = flat.shape
+        pb = min(p, 128)
+        pad = (-p) % pb
+        flat_p = jnp.concatenate([flat, jnp.zeros((pad, d), flat.dtype)])
+        sq = jnp.sum(flat * flat, axis=-1)
+        sq_p = jnp.concatenate([sq, jnp.zeros((pad,), sq.dtype)])
+        idx_p = jnp.arange(p + pad)
+        col = jnp.arange(p)
+
+        def block_min(args):
+            fb, sqb, ib = args  # (pb, d), (pb,), (pb,)
+            g = fb @ flat.T  # (pb, P)
+            diff = (sqb[:, None] + sq[None, :] - 2.0 * g) / d
+            diff = jnp.where(ib[:, None] == col[None, :], jnp.inf, diff)
+            return jnp.min(diff, axis=-1)
+
+        u = jax.lax.map(
+            block_min,
+            (
+                flat_p.reshape(-1, pb, d),
+                sq_p.reshape(-1, pb),
+                idx_p.reshape(-1, pb),
+            ),
+        )
+        return u.reshape(p + pad)[:p]
 
     @staticmethod
     def unique_target_from_draws(

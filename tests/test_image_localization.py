@@ -126,3 +126,18 @@ def test_unique_sampler_prefers_distinct_glimpses():
         ok = (d <= np.asarray(max_cell) + 1e-5).all(axis=-1).any()
         # jitter can push past clip boundary; allow clipped coords
         assert ok or np.any(np.abs(pos) >= 1.0 - 1e-6)
+
+
+def test_blockwise_uniqueness_matches_dense():
+    """The blockwise Gram-min (the OOM-cliff fix for large env batches)
+    equals the dense pairwise-MSE min."""
+    rng = np.random.default_rng(7)
+    for p, d in ((729, 300), (5, 8), (130, 16)):
+        flat = jnp.asarray(rng.random((p, d)).astype(np.float32))
+        u = ImagePerceptionEngine._min_pairwise_mse(flat)
+        f = np.asarray(flat)
+        diff = np.mean((f[:, None] - f[None, :]) ** 2, axis=-1)
+        np.fill_diagonal(diff, np.inf)
+        np.testing.assert_allclose(
+            np.asarray(u), diff.min(axis=-1), rtol=1e-5, atol=1e-7
+        )
