@@ -218,6 +218,7 @@ def load_hf_image_bank(
     c = channels if channels is not None else (geo.channels if geo else 3)
 
     if synthetic is not True:
+        saved: list[tuple] = []
         try:
             os.environ.setdefault("HF_HUB_OFFLINE", "1")
             os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
@@ -229,15 +230,23 @@ def load_hf_image_bank(
                 # a cache miss burns ~25 s in DNS retries (5 retries with
                 # backoff) before falling back. Force the runtime flags so
                 # a miss fails in microseconds; cached datasets still load.
+                # Saved and RESTORED below: this probe must not leave the
+                # process offline (HuggingfaceImageClassificationDataset
+                # .load() legitimately downloads).
                 import huggingface_hub.constants as _hub_c
                 from datasets import config as _ds_config
 
+                saved.append((_ds_config, "HF_HUB_OFFLINE",
+                              _ds_config.HF_HUB_OFFLINE))
                 _ds_config.HF_HUB_OFFLINE = True
                 if hasattr(_ds_config, "HF_DATASETS_OFFLINE"):
+                    saved.append((_ds_config, "HF_DATASETS_OFFLINE",
+                                  _ds_config.HF_DATASETS_OFFLINE))
                     _ds_config.HF_DATASETS_OFFLINE = True
+                saved.append((_hub_c, "HF_HUB_OFFLINE", _hub_c.HF_HUB_OFFLINE))
                 _hub_c.HF_HUB_OFFLINE = True
 
-            return bank_from_hf(
+            bank = bank_from_hf(
                 load_dataset(name),
                 split=split,
                 channels=c,
@@ -245,9 +254,25 @@ def load_hf_image_bank(
                 label_feature_name=label_feature_name,
                 filter_labels=filter_labels,
             )
+            if num_points is not None and bank.length > num_points:
+                # Honor the bank-size control on the real-cache path too
+                # (bench.py --bank-points/--ab-banks compare sizes): keep
+                # the first num_points rows — a deterministic prefix, like
+                # the synthetic generator's.
+                bank = BankImageDataset(
+                    images=bank.images[:num_points],
+                    labels=bank.labels[:num_points],
+                    n_classes=bank.n_classes,
+                    packed_shape=bank.packed_shape,
+                )
+                object.__setattr__(bank, "_bank_kind", "huggingface")
+            return bank
         except Exception:
             if synthetic is False:
                 raise
+        finally:
+            for obj, attr, val in saved:
+                setattr(obj, attr, val)
     return synthetic_image_bank(
         name, split=split, channels=channels,
         filter_labels=filter_labels, num_points=num_points,

@@ -308,8 +308,7 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
                     return raycast_grid_bitslab2d(
                         win_occ, base[0], base[1], origin, targets
                     )
-                _, w = params.map_bank.map_hw
-                return raycast_grid_bitslab(win_occ, base, w, origin, targets)
+                return raycast_grid_bitslab(win_occ, base, origin, targets)
             return raycast_grid(
                 win_occ, origin - base, targets - base, geos_typing=typed
             )

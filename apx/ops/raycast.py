@@ -271,12 +271,7 @@ def bitslab_window_2d(
     """
     h = halves.shape[0]
     assert h <= 32, f"bitslab_window_2d supports H<=32, got {h}"
-    x = base_x.astype(jnp.int32) + jnp.arange(16, dtype=jnp.int32)[None, :]
-    validx = (x >= 0) & (x < w)
-    xc = jnp.clip(x, 0, w - 1)
-    half = jnp.where(xc < 16, halves[:, 0:1], halves[:, 1:2])  # (H, 16)
-    bit = jnp.right_shift(half, jnp.bitwise_and(xc, 15)) & 1
-    bit = jnp.where(validx, bit, 0).astype(jnp.uint32)
+    bit = bitslab_window(halves, base_x, w).astype(jnp.uint32)  # (H, 16)
     colw = jnp.sum(
         bit << jnp.arange(h, dtype=jnp.uint32)[:, None], axis=0
     )  # (16,) uint32; bit y of colw[wx] = cell (y, base_x + wx)
@@ -332,7 +327,6 @@ def raycast_grid_bitslab2d(
 def raycast_grid_bitslab(
     occ_win: jnp.ndarray,
     base_x: jnp.ndarray,
-    w: int,
     origin: jnp.ndarray,
     targets: jnp.ndarray,
     eps: float = _EPS,

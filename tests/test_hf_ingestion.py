@@ -162,3 +162,29 @@ def test_synthetic_fallback_marked():
 
     bank = load_hf_image_bank("mnist", split="train", num_points=16)
     assert getattr(bank, "_bank_kind", None) == "synthetic"
+
+
+def test_load_hf_image_bank_truncates_real_path(monkeypatch):
+    """num_points is honored on the REAL-cache path (not only the
+    synthetic fallback): the loaded bank truncates to a deterministic
+    prefix, and the offline-probe flags are restored afterwards."""
+    import huggingface_hub.constants as hub_c
+
+    import apx.data.huggingface as hf_mod
+
+    dd = _fixture(channels=1, n=12)
+    monkeypatch.setattr("datasets.load_dataset", lambda *a, **k: dd)
+    before = hub_c.HF_HUB_OFFLINE
+    full = hf_mod.load_hf_image_bank("whatever", channels=1, synthetic=False)
+    bank = hf_mod.load_hf_image_bank(
+        "whatever", channels=1, num_points=5, synthetic=False
+    )
+    assert full.length == 12 and bank.length == 5
+    np.testing.assert_array_equal(
+        np.asarray(bank.images_unpacked), np.asarray(full.images_unpacked)[:5]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bank.labels), np.asarray(full.labels)[:5]
+    )
+    assert getattr(bank, "_bank_kind", None) == "huggingface"
+    assert hub_c.HF_HUB_OFFLINE == before

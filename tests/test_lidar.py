@@ -477,7 +477,7 @@ def test_bitslab_raycast_matches_dense_bitwise():
             base_y = np.float32(np.floor(origin[1]) - 7)
             occ_win = bitslab_window(halves, jnp.int32(base_x), w)
             d1, t1 = raycast_grid_bitslab(
-                occ_win, jnp.float32(base_x), w, jnp.asarray(origin),
+                occ_win, jnp.float32(base_x), jnp.asarray(origin),
                 jnp.asarray(targets),
             )
             d2, t2 = raycast_grid(
