@@ -143,3 +143,27 @@ def test_glimpse_study_tap2_matches_gemm():
     ref = jax.vmap(lambda i, p: extract_glimpse(i, p, (10, 10), 1.0))(img, pos)
     tap = jax.vmap(tap2_glimpse)(img, pos)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(tap), atol=1e-5)
+
+
+def test_lane_major_pallas_kernel_matches_gemm():
+    """The lane-major Pallas study kernel (glimpse_pallas — measured at
+    parity-or-worse vs XLA, kept as the end of the design space) is
+    semantically exact: interpret mode vs the GEMM on random + boundary
+    positions."""
+    import jax
+
+    from apx.ops.glimpse_pallas import glimpse_batch_lane_major
+
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.integers(0, 256, (128, 32, 32, 3), dtype=np.uint8))
+    pos = jnp.concatenate(
+        [
+            jax.random.uniform(jax.random.PRNGKey(6), (124, 2), minval=-1, maxval=1),
+            jnp.array([[1.0, 1.0], [-1.0, -1.0], [0.0, 1.0], [1.0, -1.0]]),
+        ]
+    )
+    from apx.ops.glimpse import extract_glimpse_batch
+
+    ref = extract_glimpse_batch(imgs, pos, (5, 5), 1.0)
+    got = glimpse_batch_lane_major(imgs, pos, (5, 5), 1.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-6)
