@@ -203,3 +203,16 @@ def test_multihost_bench_entry(mesh):
         venv, params, 4, jax.random.key(0), 4
     )
     assert ndev == 8 and sps > 0
+
+
+def test_multihost_bench_tin_loc(mesh):
+    """BASELINE.json config 'TinyImageNetLoc sharded over N hosts': the
+    banked localization env (HBM dataset bank + candidate sweep at reset)
+    runs through the same mesh-sharded rollout path."""
+    import bench as bench_mod
+
+    venv, params, _ = bench_mod.BENCHES["tin_loc"](16, bank_points=64)
+    sps, ndev = bench_mod.bench_env_multihost(
+        venv, params, 4, jax.random.key(0), 2
+    )
+    assert ndev == 8 and sps > 0
