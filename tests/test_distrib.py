@@ -194,6 +194,82 @@ def test_mesh_ppo_trains_dp_tp(mesh):
     )
 
 
+def test_vtrace_matches_reference_recursion():
+    """vtrace() (examples/train_vtrace_mesh.py) vs a direct numpy loop of
+    IMPALA eq. 1 (Espeholt et al. 2018)."""
+    from examples.train_vtrace_mesh import vtrace
+
+    rng = np.random.default_rng(0)
+    T, N, gamma = 7, 5, 0.9
+    r = rng.normal(size=(T, N)).astype(np.float32)
+    v = rng.normal(size=(T, N)).astype(np.float32)
+    v_last = rng.normal(size=(N,)).astype(np.float32)
+    log_rho = rng.normal(scale=0.3, size=(T, N)).astype(np.float32)
+    done = rng.random((T, N)) < 0.2
+
+    vs, pg_adv = vtrace(
+        jnp.asarray(r), jnp.asarray(v), jnp.asarray(v_last),
+        jnp.asarray(log_rho), jnp.asarray(done), gamma,
+    )
+
+    rho = np.minimum(np.exp(log_rho), 1.0)
+    c = np.minimum(np.exp(log_rho), 1.0)
+    nt = 1.0 - done.astype(np.float32)
+    v_next = np.concatenate([v[1:], v_last[None]], axis=0)
+    delta = rho * (r + gamma * nt * v_next - v)
+    vs_ref = np.zeros_like(v)
+    acc = np.zeros(N, np.float32)
+    for t in reversed(range(T)):
+        acc = delta[t] + gamma * nt[t] * c[t] * acc
+        vs_ref[t] = v[t] + acc
+    vs_next_ref = np.concatenate([vs_ref[1:], v_last[None]], axis=0)
+    pg_ref = rho * (r + gamma * nt * vs_next_ref - v)
+    np.testing.assert_allclose(np.asarray(vs), vs_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pg_adv), pg_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_vtrace_trains(mesh):
+    """The IMPALA-style V-trace recipe runs dp x tp on the 4x2 mesh with a
+    lagged behavior policy and finite results."""
+    import optax
+
+    from examples.train_ppo_lidar import init_net
+    from examples.train_ppo_mesh import make_dp_tp_mesh, shard_net
+    from examples.train_vtrace_mesh import make_train_iter
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n, rollout = 16, 4
+    venv, params = apx.make_vec("LIDARLocRooms-v0", num_envs=n)
+    key = jax.random.PRNGKey(5)
+    obs0, state0, _ = venv.reset(key, params)
+    mesh2 = make_dp_tp_mesh(jax.devices()[:8])
+    dp = NamedSharding(mesh2, P("data"))
+    rep = NamedSharding(mesh2, P())
+    net = shard_net(init_net(jax.random.PRNGKey(6), params.map_bank.map_hw), mesh2)
+    beh = jax.tree_util.tree_map(jnp.copy, net)
+    opt = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(3e-4))
+    train_iter = jax.jit(make_train_iter(venv, opt, n, rollout, sync_every=2))
+
+    carry = (
+        net, beh, opt.init(net),
+        jax.device_put(state0, dp), jax.device_put(obs0, dp), jnp.int32(0),
+    )
+    p = jax.device_put(params, rep)
+    for i in range(2):
+        key, k = jax.random.split(key)
+        *carry, mean_r = train_iter(*carry, k, p)
+        carry = tuple(carry)
+        assert np.isfinite(float(mean_r))
+    net_f, beh_f = carry[0], carry[1]
+    # sync_every=2 -> after 2 iters the behavior net equals the learner.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(net_f), jax.tree_util.tree_leaves(beh_f)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert len(net_f["trunk"]["w"].sharding.device_set) == 8
+    assert len(jax.tree_util.tree_leaves(carry[3])[0].sharding.device_set) == 8
+
+
 def test_multihost_bench_entry(mesh):
     """bench.py --multihost path: sharded_rollout over the virtual mesh."""
     import bench as bench_mod
