@@ -45,6 +45,7 @@ __all__ = [
     "VectorAPEnv",
     "vmap_vector_env",
     "rollout",
+    "rollout_episodic",
 ]
 
 P = TypeVar("P")  # params pytree
@@ -329,6 +330,37 @@ class VectorAPEnv:
         vstate = VectorState(inner=new_inner, prev_done=terminated | truncated)
         return obs, vstate, reward, terminated, truncated, info
 
+    def boundary_reset_step(
+        self, key: jax.Array, state: VectorState, full_action: dict[str, Any], params
+    ) -> tuple[Any, VectorState, jax.Array, jax.Array, jax.Array, dict[str, Any]]:
+        """The LOCKSTEP all-done reset step as a standalone, cond-free
+        function: bitwise-identical outputs to ``step()`` entered with
+        ``prev_done`` all True (the masked-out step_env result there is
+        never observable, so it is simply not computed here). Building
+        block of ``rollout_episodic`` — see its docstring for why hoisting
+        this out of the scan matters on TPU."""
+        n = self.num_envs
+        step_key, reset_key = jax.random.split(key)  # mirror step()'s split
+        del step_key
+        reset_keys = jax.random.split(reset_key, n)
+        reset_obs, reset_state, reset_info = jax.vmap(
+            self.env.autoreset_env, in_axes=(0, 0, None)
+        )(reset_keys, state.inner, params)
+        new_target = jax.vmap(
+            lambda so, sn: self.env.prediction_target_on_reset(so, sn, params)
+        )(state.inner, reset_state)
+        loss = self.env.loss_fn(params)(full_action["prediction"], new_target)
+        base_reward = jnp.zeros(n, jnp.float32)
+        reward = base_reward - loss
+        terminated = jnp.zeros(n, dtype=jnp.bool_)
+        truncated = jnp.zeros(n, dtype=jnp.bool_)
+        info = self.env.compose_info(
+            reset_info, base_reward, new_target, loss,
+            full_action["prediction"], params,
+        )
+        vstate = VectorState(inner=reset_state, prev_done=terminated)
+        return reset_obs, vstate, reward, terminated, truncated, info
+
 
 def vmap_vector_env(
     env: APEnv, num_envs: int, autoreset: AutoResetMode = AutoResetMode.NEXT_STEP
@@ -356,4 +388,98 @@ def rollout(
 
     keys = jax.random.split(scan_key, num_steps)
     (obs_f, state_f), traj = jax.lax.scan(body, (obs0, state0), keys)
+    return obs_f, state_f, traj
+
+
+def rollout_episodic(
+    venv: VectorAPEnv,
+    params,
+    policy_fn: Callable[[jax.Array, Any], dict[str, Any]],
+    key: jax.Array,
+    num_steps: int,
+    period: int,
+):
+    """LOCKSTEP rollout with the episode boundary hoisted OUT of the scan.
+
+    Valid whenever every episode lasts exactly ``period`` steps — true for
+    every registered image env (they terminate unconditionally at
+    ``params.step_limit``), so the all-done reset lands deterministically
+    every ``period + 1``-th step. The inner scan then runs cond-free
+    DISABLED-mode steps and the reset runs as an unrolled
+    ``boundary_reset_step`` between segments.
+
+    Why: inside a scan, the LOCKSTEP autoreset ``lax.cond`` forces XLA to
+    copy every pass-through state leaf into the cond's output buffers and
+    again into the while carry — for banked image envs that is the whole
+    (N, H, W, C) image state, measured at ~45% of TinyImageNetLoc's step
+    and ~2/3 of its LOCKSTEP-vs-DISABLED gap (PERF.md round 3; the
+    zero-fill+where and OOB-scatter merge structures both measured WORSE).
+    Hoisting the boundary makes the common step branch-free, which is the
+    TPU-idiomatic fix. Trajectories are BITWISE identical to scanning
+    ``venv.step`` in states, observations and done flags; rewards admit
+    1 ulp of XLA fusion-reassociation drift (the key split, step
+    semantics and reset-step outputs are shared code paths — pinned in
+    tests/test_env_core.py).
+
+    Returns ``(obs_f, state_f, (rewards, terms, truncs))`` like
+    ``rollout``, with exactly ``num_steps`` steps (a trailing partial
+    segment runs without its boundary step).
+    """
+    assert venv.autoreset is AutoResetMode.LOCKSTEP
+    inner_venv = dataclasses.replace(venv, autoreset=AutoResetMode.DISABLED)
+    reset_key, scan_key = jax.random.split(key)
+    obs0, state0, _ = venv.reset(reset_key, params)
+    keys = jax.random.split(scan_key, num_steps)
+
+    def inner_body(carry, k):
+        obs, state = carry
+        pk, sk = jax.random.split(k)
+        act = policy_fn(pk, obs)
+        obs2, state2, reward, term, trunc, _ = inner_venv.step(
+            sk, state, act, params
+        )
+        return (obs2, state2), (reward, term, trunc)
+
+    cycle = period + 1
+    segments = num_steps // cycle
+    leftover = num_steps - segments * cycle
+
+    def segment_body(carry, seg_keys):
+        carry, traj_in = jax.lax.scan(inner_body, carry, seg_keys[:period])
+        obs, state = carry
+        bk = seg_keys[period]
+        pk, sk = jax.random.split(bk)
+        act = policy_fn(pk, obs)
+        obs2, state2, reward, term, trunc, _ = venv.boundary_reset_step(
+            sk, state, act, params
+        )
+        traj = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b[None]]), traj_in,
+            (reward, term, trunc),
+        )
+        return (obs2, state2), traj
+
+    carry = (obs0, state0)
+    if segments:
+        carry, traj = jax.lax.scan(
+            segment_body, carry,
+            keys[: segments * cycle].reshape((segments, cycle) + keys.shape[1:]),
+        )
+        traj = jax.tree_util.tree_map(
+            lambda x: x.reshape((segments * cycle,) + x.shape[2:]), traj
+        )
+    else:
+        traj = None
+    if leftover:
+        carry, traj_tail = jax.lax.scan(
+            inner_body, carry, keys[segments * cycle :]
+        )
+        traj = (
+            traj_tail
+            if traj is None
+            else jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b]), traj, traj_tail
+            )
+        )
+    obs_f, state_f = carry
     return obs_f, state_f, traj

@@ -24,10 +24,29 @@ import jax.numpy as jnp
 
 def bench_env(venv, params, num_steps: int, key) -> float:
     """Returns env-steps/s of a jitted scan rollout with on-device random
-    actions (no host transfers in the timed region)."""
+    actions (no host transfers in the timed region).
+
+    LOCKSTEP envs with a fixed episode length run the EPISODIC rollout
+    (apx.core.env.rollout_episodic semantics: reset boundary hoisted out
+    of the scan, cond-free inner steps) — trajectories are bitwise-equal
+    in state/obs/dones to the plain scan (pinned in test_env_core), and
+    the plain scan's lax.cond pays ~2 pass-through copies of the image
+    state EVERY step (PERF.md round 3)."""
+    import dataclasses
+
+    from apx.core.env import AutoResetMode
+
     n = venv.num_envs
     act_space = venv.env.inner_action_space(params)
     pred_space = venv.env.prediction_space(params)
+    period = (
+        int(params.step_limit)
+        if (
+            venv.autoreset is AutoResetMode.LOCKSTEP
+            and hasattr(params, "step_limit")
+        )
+        else None
+    )
 
     def policy(k, obs):
         ka, kp = jax.random.split(k)
@@ -44,6 +63,12 @@ def bench_env(venv, params, num_steps: int, key) -> float:
         ) * 1e-12
         return {"action": jnp.clip(act + probe, -1.0, 1.0), "prediction": pred}
 
+    inner_venv = (
+        dataclasses.replace(venv, autoreset=AutoResetMode.DISABLED)
+        if period
+        else venv
+    )
+
     @jax.jit
     def run(key, state0, obs0, params):
         # params MUST be a jit argument, not a closure: closed-over arrays
@@ -54,12 +79,45 @@ def bench_env(venv, params, num_steps: int, key) -> float:
             obs, state = carry
             pk, sk = jax.random.split(k)
             act = policy(pk, obs)
-            obs2, state2, reward, term, trunc, _ = venv.step(sk, state, act, params)
+            obs2, state2, reward, term, trunc, _ = inner_venv.step(
+                sk, state, act, params
+            )
             return (obs2, state2), reward.sum()
 
         keys = jax.random.split(key, num_steps)
-        (obs_f, state_f), rsum = jax.lax.scan(body, (obs0, state0), keys)
-        return obs_f, state_f, rsum.sum()
+        if period is None:
+            (obs_f, state_f), rsum = jax.lax.scan(body, (obs0, state0), keys)
+            return obs_f, state_f, rsum.sum()
+
+        cycle = period + 1
+        segments = num_steps // cycle
+        leftover = num_steps - segments * cycle
+
+        def segment_body(carry, seg_keys):
+            carry, rs = jax.lax.scan(body, carry, seg_keys[:period])
+            obs, state = carry
+            pk, sk = jax.random.split(seg_keys[period])
+            act = policy(pk, obs)
+            obs2, state2, reward, *_ = venv.boundary_reset_step(
+                sk, state, act, params
+            )
+            return (obs2, state2), rs.sum() + reward.sum()
+
+        carry, rsum = ((obs0, state0), jnp.float32(0))
+        if segments:
+            carry, rs = jax.lax.scan(
+                segment_body,
+                carry,
+                keys[: segments * cycle].reshape(
+                    (segments, cycle) + keys.shape[1:]
+                ),
+            )
+            rsum = rs.sum()
+        if leftover:
+            carry, rs = jax.lax.scan(body, carry, keys[segments * cycle :])
+            rsum = rsum + rs.sum()
+        obs_f, state_f = carry
+        return obs_f, state_f, rsum
 
     rk, bk, wk, sk = jax.random.split(key, 4)
     params = jax.device_put(params)

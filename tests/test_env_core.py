@@ -238,3 +238,54 @@ def test_vector_autoreset_info_key_mismatch_raises():
     act = {"action": jnp.zeros((2, 1)), "prediction": jnp.zeros((2, 1))}
     with pytest.raises(ValueError, match="autoreset info keys differ"):
         venv.step(jax.random.PRNGKey(1), state, act, params)
+
+
+def test_rollout_episodic_bitwise_matches_lockstep_scan():
+    """rollout_episodic (boundary hoisted out of the scan — the TPU-side
+    fix for the LOCKSTEP cond's pass-through copies) must be BITWISE
+    identical to scanning venv.step in state/obs/dones — rewards admit
+    1 ulp of XLA fusion-reassociation drift — across multiple full
+    episodes plus a partial trailing segment, for classification AND
+    localization semantics."""
+    import jax
+
+    from apx.core.env import AutoResetMode, rollout_episodic, vmap_vector_env
+    from apx.data import make_circle_square_bank
+    from apx.envs import ImageClassificationEnv, ImageLocalizationEnv
+
+    for ctor, pred_dim in ((ImageClassificationEnv, 2), (ImageLocalizationEnv, 2)):
+        env = ctor(dataset=make_circle_square_bank((16, 16)), step_limit=4)
+        params = env.default_params()
+        n = 8
+        venv = vmap_vector_env(env, n, AutoResetMode.LOCKSTEP)
+
+        def policy(pk, obs):
+            ka, kp = jax.random.split(pk)
+            return {
+                "action": jax.random.uniform(ka, (n, 2), minval=-1, maxval=1),
+                "prediction": jax.random.normal(kp, (n, pred_dim)),
+            }
+
+        key = jax.random.PRNGKey(17)
+        num_steps = 13  # 2 full (4+1)-cycles + 3 leftover steps
+
+        # reference: plain scan of venv.step (shares rollout's key layout)
+        from apx.core.env import rollout
+
+        obs_a, state_a, (r_a, te_a, tr_a) = jax.jit(
+            lambda k: rollout(venv, params, policy, k, num_steps)
+        )(key)
+        obs_b, state_b, (r_b, te_b, tr_b) = jax.jit(
+            lambda k: rollout_episodic(venv, params, policy, k, num_steps, 4)
+        )(key)
+
+        np.testing.assert_allclose(
+            np.asarray(r_a), np.asarray(r_b), rtol=3e-7, atol=1e-8
+        )
+        np.testing.assert_array_equal(np.asarray(te_a), np.asarray(te_b))
+        np.testing.assert_array_equal(np.asarray(tr_a), np.asarray(tr_b))
+        for la, lb in zip(
+            jax.tree_util.tree_leaves((obs_a, state_a.inner)),
+            jax.tree_util.tree_leaves((obs_b, state_b.inner)),
+        ):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
