@@ -124,11 +124,25 @@ def sharded_rollout(
     params,
     policy_fn: Callable[[jax.Array, Any], dict[str, Any]],
     num_steps: int,
+    episodic_period: int | None = None,
 ):
     """jitted lax.scan rollout over a sharded env batch. Returns
     (rollout_fn(key) -> (final_state, mean_reward, done_count)); the
-    reductions are psums over the env axis inserted by GSPMD."""
+    reductions are psums over the env axis inserted by GSPMD.
+
+    ``episodic_period``: for LOCKSTEP envs with fixed ``period``-step
+    episodes, hoist the reset boundary out of the scan exactly like
+    ``apx.core.env.rollout_episodic`` (cond-free inner steps; 1.3-3.6x
+    single-chip, same trajectories)."""
+    import dataclasses as _dc
+
+    from ..core.env import AutoResetMode
+
     bs = sharding.batch
+    inner_venv = venv
+    if episodic_period is not None:
+        assert venv.autoreset is AutoResetMode.LOCKSTEP
+        inner_venv = _dc.replace(venv, autoreset=AutoResetMode.DISABLED)
 
     # params enters jit as an ARGUMENT, not a closure constant: closed-over
     # arrays are baked into the compile payload, which duplicates GB-scale
@@ -146,13 +160,58 @@ def sharded_rollout(
             obs, state = carry
             pk, sk = jax.random.split(k)
             act = policy_fn(pk, obs)
-            obs2, state2, reward, term, trunc, _ = venv.step(sk, state, act, params)
+            obs2, state2, reward, term, trunc, _ = inner_venv.step(
+                sk, state, act, params
+            )
             obs2 = jax.lax.with_sharding_constraint(obs2, bs)
             state2 = jax.lax.with_sharding_constraint(state2, bs)
             return (obs2, state2), (reward.mean(), (term | trunc).sum())
 
         keys = jax.random.split(skey, num_steps)
-        (obs_f, state_f), (rmeans, dones) = jax.lax.scan(body, (obs0, state0), keys)
-        return state_f, rmeans.mean(), dones.sum()
+        if episodic_period is None:
+            (obs_f, state_f), (rmeans, dones) = jax.lax.scan(
+                body, (obs0, state0), keys
+            )
+            return state_f, rmeans.mean(), dones.sum()
+
+        period = episodic_period
+        cycle = period + 1
+        segments = num_steps // cycle
+        leftover = num_steps - segments * cycle
+
+        def segment_body(carry, seg_keys):
+            carry, (rm, dn) = jax.lax.scan(body, carry, seg_keys[:period])
+            obs, state = carry
+            pk, sk = jax.random.split(seg_keys[period])
+            act = policy_fn(pk, obs)
+            obs2, state2, reward, term, trunc, _ = venv.boundary_reset_step(
+                sk, state, act, params
+            )
+            obs2 = jax.lax.with_sharding_constraint(obs2, bs)
+            state2 = jax.lax.with_sharding_constraint(state2, bs)
+            return (obs2, state2), (
+                rm.sum() + reward.mean(),
+                dn.sum() + (term | trunc).sum(),
+            )
+
+        carry = (obs0, state0)
+        rm_total = 0.0
+        dn_total = 0
+        if segments:
+            carry, (rms, dns) = jax.lax.scan(
+                segment_body,
+                carry,
+                keys[: segments * cycle].reshape(
+                    (segments, cycle) + keys.shape[1:]
+                ),
+            )
+            rm_total = rms.sum()
+            dn_total = dns.sum()
+        if leftover:
+            carry, (rm, dn) = jax.lax.scan(body, carry, keys[segments * cycle :])
+            rm_total = rm_total + rm.sum()
+            dn_total = dn_total + dn.sum()
+        state_f = carry[1]
+        return state_f, rm_total / num_steps, dn_total
 
     return lambda key: run(key, params)

@@ -330,7 +330,19 @@ def bench_env_multihost(venv, params, num_steps: int, key, num_envs_per_device):
             "prediction": jax.random.normal(kp, (n, *pred_space.shape)),
         }
 
-    run = sharded_rollout(venv, sharding, params, policy, num_steps)
+    from apx.core.env import AutoResetMode
+
+    period = (
+        int(params.step_limit)
+        if (
+            venv.autoreset is AutoResetMode.LOCKSTEP
+            and hasattr(params, "step_limit")
+        )
+        else None
+    )
+    run = sharded_rollout(
+        venv, sharding, params, policy, num_steps, episodic_period=period
+    )
     wk, bk = jax.random.split(key)
     out = run(wk)  # warmup/compile
     float(out[1])  # value fetch: the only reliable barrier on the relay

@@ -194,6 +194,32 @@ def test_mesh_ppo_trains_dp_tp(mesh):
     )
 
 
+def test_sharded_episodic_rollout_matches_plain(mesh):
+    """sharded_rollout(episodic_period=...) == the plain sharded scan over
+    full episodes (the mesh form of the rollout_episodic equivalence)."""
+    n = 16
+    venv, params = apx.make_vec("CircleSquare-s15-v0", num_envs=n)
+    from apx.core.env import AutoResetMode
+
+    assert venv.autoreset is AutoResetMode.LOCKSTEP
+    sharding = EnvSharding(mesh)
+    sp = shard_params(sharding, params)
+    pred_dim = venv.env.prediction_space(params).shape[-1]
+    steps = 2 * (params.step_limit + 1) + 3
+    run_a = sharded_rollout(venv, sharding, sp, _policy(n, 2, pred_dim), steps)
+    run_b = sharded_rollout(
+        venv, sharding, sp, _policy(n, 2, pred_dim), steps,
+        episodic_period=params.step_limit,
+    )
+    key = jax.random.PRNGKey(21)
+    _, rm_a, dn_a = jax.block_until_ready(run_a(key))
+    _, rm_b, dn_b = jax.block_until_ready(run_b(key))
+    np.testing.assert_allclose(float(rm_a), float(rm_b), rtol=1e-5)
+    # done counts differ by design: the episodic boundary step reports
+    # terminated=False exactly like the LOCKSTEP reset step, so totals match.
+    assert int(dn_a) == int(dn_b)
+
+
 def test_vtrace_matches_reference_recursion():
     """vtrace() (examples/train_vtrace_mesh.py) vs a direct numpy loop of
     IMPALA eq. 1 (Espeholt et al. 2018)."""
