@@ -296,6 +296,73 @@ def test_mesh_vtrace_trains(mesh):
     assert len(jax.tree_util.tree_leaves(carry[3])[0].sharding.device_set) == 8
 
 
+def test_r2d2_value_rescale_roundtrip():
+    """h and its closed-form inverse (Kapturowski et al. 2019) invert each
+    other over a wide range."""
+    from examples.train_r2d2_mesh import value_rescale, value_rescale_inv
+
+    x = jnp.asarray(
+        np.concatenate([np.linspace(-50, 50, 101), [0.0, 1e-4, -1e-4]])
+    ).astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(value_rescale_inv(value_rescale(x))), np.asarray(x),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_mesh_r2d2_trains(mesh):
+    """The R2D2-style recipe (device-resident replay ring, LSTM burn-in,
+    n-step double-Q, target sync) runs dp x tp on the 4x2 mesh: ring
+    pointer advances, target syncs, rewards finite."""
+    import optax
+
+    from examples.train_ppo_mesh import make_dp_tp_mesh, net_shardings
+    from examples.train_r2d2_mesh import init_r2d2_net, make_train_iter
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n, hidden = 16, 32
+    venv, params = apx.make_vec("LIDARLocRooms-v0", num_envs=n)
+    mesh2 = make_dp_tp_mesh(jax.devices()[:8])
+    dp = NamedSharding(mesh2, P("data"))
+    rep = NamedSharding(mesh2, P())
+    key = jax.random.PRNGKey(31)
+    obs0, state0, _ = venv.reset(key, params)
+    net = init_r2d2_net(jax.random.PRNGKey(32), params.map_bank.map_hw, hidden)
+    base = net_shardings(mesh2)
+    shardings = {k: base.get(k, {}) for k in net}
+    shardings["lstm"] = {k: rep for k in net["lstm"]}
+    shardings["q"] = {k: rep for k in net["q"]}
+    net = jax.tree_util.tree_map(jax.device_put, net, shardings)
+    tgt = jax.tree_util.tree_map(jnp.copy, net)
+    opt = optax.adam(1e-3)
+    train_iter, empty_ring = make_train_iter(
+        venv, opt, n, seq_len=6, burn_in=2, capacity=4, batch_seqs=2,
+        target_sync_every=2, hidden=hidden,
+    )
+    ring = jax.device_put(empty_ring(obs0), rep)
+    carry = (
+        jax.device_put(jnp.zeros((n, hidden)), dp),
+        jax.device_put(jnp.zeros((n, hidden)), dp),
+    )
+    jit_iter = jax.jit(train_iter)
+    st, obs, it = jax.device_put(state0, dp), jax.device_put(obs0, dp), jnp.int32(0)
+    p = jax.device_put(params, rep)
+    for i in range(2):
+        key, k = jax.random.split(key)
+        net, tgt, _opt, ring, st, obs, carry, it, mean_r = jit_iter(
+            net, tgt, opt.init(net) if i == 0 else _opt, ring, st, obs,
+            carry, it, k, p,
+        )
+        assert np.isfinite(float(mean_r))
+    assert int(ring["ptr"]) == 2 and int(ring["filled"]) == 2
+    # target synced at it==2 (sync_every=2) -> equals online net
+    for a, b in zip(
+        jax.tree_util.tree_leaves(net), jax.tree_util.tree_leaves(tgt)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert len(net["trunk"]["w"].sharding.device_set) == 8
+
+
 def test_multihost_bench_entry(mesh):
     """bench.py --multihost path: sharded_rollout over the virtual mesh."""
     import bench as bench_mod
