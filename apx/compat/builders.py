@@ -87,7 +87,14 @@ def _base_reset_from_draws(base, draws: dict[str, Any], params):
         n = occ.shape[0]
         state = LIDARLocalizationState(
             occ=occ,
-            occ_padded=jax.vmap(lambda o: pad_occupancy(o, params.ray_pad))(occ),
+            # Same contract as reset_env: only window-extraction backends
+            # read the padded map; None keeps the pytree structure aligned
+            # with natively-built states (lidar_localization.py).
+            occ_padded=(
+                jax.vmap(lambda o: pad_occupancy(o, params.ray_pad))(occ)
+                if params.needs_padded_occ
+                else None
+            ),
             bank_pos=jnp.zeros((n,), jnp.int32),
             map_idx=jnp.asarray(draws["map_idx"], jnp.uint32),
             pos=pos,

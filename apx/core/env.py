@@ -391,6 +391,51 @@ def rollout(
     return obs_f, state_f, traj
 
 
+def segmented_scan(inner_body, boundary_body, carry, keys, period):
+    """Scan ``inner_body`` over ``keys``, splicing ``boundary_body`` in at
+    every ``(period + 1)``-th key — the shared scaffolding of
+    ``rollout_episodic``, ``apx.distrib.sharded_rollout`` and ``bench.py``
+    (one tested implementation instead of three drifting copies).
+
+    Both bodies are ``(carry, key) -> (carry, out)`` with the same ``out``
+    structure. A trailing partial segment runs without its boundary.
+    Returns ``(carry, outs)`` with outs stacked over all ``len(keys)``
+    steps in order."""
+    cycle = period + 1
+    num_steps = keys.shape[0]
+    segments = num_steps // cycle
+    leftover = num_steps - segments * cycle
+
+    def segment(carry, seg_keys):
+        carry, outs = jax.lax.scan(inner_body, carry, seg_keys[:period])
+        carry, bout = boundary_body(carry, seg_keys[period])
+        outs = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b[None]]), outs, bout
+        )
+        return carry, outs
+
+    outs = None
+    if segments:
+        carry, outs = jax.lax.scan(
+            segment,
+            carry,
+            keys[: segments * cycle].reshape((segments, cycle) + keys.shape[1:]),
+        )
+        outs = jax.tree_util.tree_map(
+            lambda x: x.reshape((segments * cycle,) + x.shape[2:]), outs
+        )
+    if leftover:
+        carry, tail = jax.lax.scan(inner_body, carry, keys[segments * cycle :])
+        outs = (
+            tail
+            if outs is None
+            else jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b]), outs, tail
+            )
+        )
+    return carry, outs
+
+
 def rollout_episodic(
     venv: VectorAPEnv,
     params,
@@ -440,46 +485,16 @@ def rollout_episodic(
         )
         return (obs2, state2), (reward, term, trunc)
 
-    cycle = period + 1
-    segments = num_steps // cycle
-    leftover = num_steps - segments * cycle
-
-    def segment_body(carry, seg_keys):
-        carry, traj_in = jax.lax.scan(inner_body, carry, seg_keys[:period])
+    def boundary_body(carry, k):
         obs, state = carry
-        bk = seg_keys[period]
-        pk, sk = jax.random.split(bk)
+        pk, sk = jax.random.split(k)
         act = policy_fn(pk, obs)
         obs2, state2, reward, term, trunc, _ = venv.boundary_reset_step(
             sk, state, act, params
         )
-        traj = jax.tree_util.tree_map(
-            lambda a, b: jnp.concatenate([a, b[None]]), traj_in,
-            (reward, term, trunc),
-        )
-        return (obs2, state2), traj
+        return (obs2, state2), (reward, term, trunc)
 
-    carry = (obs0, state0)
-    if segments:
-        carry, traj = jax.lax.scan(
-            segment_body, carry,
-            keys[: segments * cycle].reshape((segments, cycle) + keys.shape[1:]),
-        )
-        traj = jax.tree_util.tree_map(
-            lambda x: x.reshape((segments * cycle,) + x.shape[2:]), traj
-        )
-    else:
-        traj = None
-    if leftover:
-        carry, traj_tail = jax.lax.scan(
-            inner_body, carry, keys[segments * cycle :]
-        )
-        traj = (
-            traj_tail
-            if traj is None
-            else jax.tree_util.tree_map(
-                lambda a, b: jnp.concatenate([a, b]), traj, traj_tail
-            )
-        )
-    obs_f, state_f = carry
+    (obs_f, state_f), traj = segmented_scan(
+        inner_body, boundary_body, (obs0, state0), keys, period
+    )
     return obs_f, state_f, traj

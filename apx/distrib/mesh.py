@@ -174,44 +174,22 @@ def sharded_rollout(
             )
             return state_f, rmeans.mean(), dones.sum()
 
-        period = episodic_period
-        cycle = period + 1
-        segments = num_steps // cycle
-        leftover = num_steps - segments * cycle
+        from ..core.env import segmented_scan
 
-        def segment_body(carry, seg_keys):
-            carry, (rm, dn) = jax.lax.scan(body, carry, seg_keys[:period])
+        def boundary_body(carry, k):
             obs, state = carry
-            pk, sk = jax.random.split(seg_keys[period])
+            pk, sk = jax.random.split(k)
             act = policy_fn(pk, obs)
             obs2, state2, reward, term, trunc, _ = venv.boundary_reset_step(
                 sk, state, act, params
             )
             obs2 = jax.lax.with_sharding_constraint(obs2, bs)
             state2 = jax.lax.with_sharding_constraint(state2, bs)
-            return (obs2, state2), (
-                rm.sum() + reward.mean(),
-                dn.sum() + (term | trunc).sum(),
-            )
+            return (obs2, state2), (reward.mean(), (term | trunc).sum())
 
-        carry = (obs0, state0)
-        rm_total = 0.0
-        dn_total = 0
-        if segments:
-            carry, (rms, dns) = jax.lax.scan(
-                segment_body,
-                carry,
-                keys[: segments * cycle].reshape(
-                    (segments, cycle) + keys.shape[1:]
-                ),
-            )
-            rm_total = rms.sum()
-            dn_total = dns.sum()
-        if leftover:
-            carry, (rm, dn) = jax.lax.scan(body, carry, keys[segments * cycle :])
-            rm_total = rm_total + rm.sum()
-            dn_total = dn_total + dn.sum()
-        state_f = carry[1]
-        return state_f, rm_total / num_steps, dn_total
+        (obs_f, state_f), (rmeans, dones) = segmented_scan(
+            body, boundary_body, (obs0, state0), keys, episodic_period
+        )
+        return state_f, rmeans.mean(), dones.sum()
 
     return lambda key: run(key, params)

@@ -68,6 +68,14 @@ def bench_env(venv, params, num_steps: int, key) -> float:
         if period
         else venv
     )
+    if period is not None:
+        # Each timed run chains the previous run's final state, so every
+        # run must END on an episode boundary or the next one starts
+        # mid-episode (DISABLED inner steps would then run terminated envs
+        # past step_limit — no longer the claimed LOCKSTEP semantics).
+        # Round the step count to whole (period + 1)-cycles.
+        cycle = period + 1
+        num_steps = max(cycle, (num_steps // cycle) * cycle)
 
     @jax.jit
     def run(key, state0, obs0, params):
@@ -89,35 +97,21 @@ def bench_env(venv, params, num_steps: int, key) -> float:
             (obs_f, state_f), rsum = jax.lax.scan(body, (obs0, state0), keys)
             return obs_f, state_f, rsum.sum()
 
-        cycle = period + 1
-        segments = num_steps // cycle
-        leftover = num_steps - segments * cycle
+        from apx.core.env import segmented_scan
 
-        def segment_body(carry, seg_keys):
-            carry, rs = jax.lax.scan(body, carry, seg_keys[:period])
+        def boundary_body(carry, k):
             obs, state = carry
-            pk, sk = jax.random.split(seg_keys[period])
+            pk, sk = jax.random.split(k)
             act = policy(pk, obs)
             obs2, state2, reward, *_ = venv.boundary_reset_step(
                 sk, state, act, params
             )
-            return (obs2, state2), rs.sum() + reward.sum()
+            return (obs2, state2), reward.sum()
 
-        carry, rsum = ((obs0, state0), jnp.float32(0))
-        if segments:
-            carry, rs = jax.lax.scan(
-                segment_body,
-                carry,
-                keys[: segments * cycle].reshape(
-                    (segments, cycle) + keys.shape[1:]
-                ),
-            )
-            rsum = rs.sum()
-        if leftover:
-            carry, rs = jax.lax.scan(body, carry, keys[segments * cycle :])
-            rsum = rsum + rs.sum()
-        obs_f, state_f = carry
-        return obs_f, state_f, rsum
+        (obs_f, state_f), rs = segmented_scan(
+            body, boundary_body, (obs0, state0), keys, period
+        )
+        return obs_f, state_f, rs.sum()
 
     rk, bk, wk, sk = jax.random.split(key, 4)
     params = jax.device_put(params)

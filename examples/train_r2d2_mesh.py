@@ -90,7 +90,7 @@ def value_rescale_inv(x, eps=1e-3):
 
 
 def init_r2d2_net(key, map_hw, hidden=128):
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     net = init_net(k1, map_hw)
     for name in ("policy", "value"):
         net.pop(name)
@@ -106,7 +106,7 @@ def init_r2d2_net(key, map_hw, hidden=128):
         "b": jnp.zeros(N_ACTIONS),
     }
     net["pred"] = {
-        "w": jax.random.normal(k4, (hidden, 2)) * 0.01,
+        "w": jax.random.normal(k5, (hidden, 2)) * 0.01,
         "b": jnp.zeros(2),
     }
     return net
@@ -166,7 +166,7 @@ def make_train_iter(
 
     def train_iter(net, target_net, opt_state, ring, env_state, obs, carry,
                    it, key, params):
-        kc, ks, ke = jax.random.split(key, 3)
+        kc, ks = jax.random.split(key)
         h0, c0 = carry
 
         # ---- collect one segment with the ONLINE net (eps-greedy on the
@@ -175,7 +175,7 @@ def make_train_iter(
             def body(scan_carry, k):
                 obs, st, carry = scan_carry
                 carry, q, pred = agent_apply(net, obs, carry)
-                ka, kexp = jax.random.split(k)
+                ka, kexp, kstep = jax.random.split(k, 3)
                 greedy = jnp.argmax(q, axis=-1)
                 rand = jax.random.randint(ka, (num_envs,), 0, N_ACTIONS)
                 act_id = jnp.where(
@@ -185,13 +185,20 @@ def make_train_iter(
                 )
                 a = ACTION_CODEBOOK[act_id]
                 obs2, st2, r, te, tr, _ = venv.step(
-                    k, st, {"action": a, "prediction": pred}, params
+                    kstep, st, {"action": a, "prediction": pred}, params
+                )
+                done = te | tr
+                # R2D2's stored-state scheme assumes fresh recurrent state
+                # at episode starts: zero the carry of envs that just
+                # finished (they autoreset on the next step).
+                carry = jax.tree_util.tree_map(
+                    lambda x: jnp.where(done[:, None], 0.0, x), carry
                 )
                 out = (
                     jax.lax.stop_gradient(obs),
                     jax.lax.stop_gradient(act_id),
                     r,
-                    jax.lax.stop_gradient(te | tr),
+                    jax.lax.stop_gradient(done),
                 )
                 return (obs2, st2, jax.lax.stop_gradient(carry)), out
 
@@ -249,19 +256,25 @@ def make_train_iter(
         seq_done = take(ring["done"])
         bh0, bc0 = take(ring["h0"]), take(ring["c0"])
 
-        def unroll(net, carry, obs_seq):
-            """obs_seq: (B, L, N, ...) -> qs (L, B, N, A)."""
+        def unroll(net, carry, obs_seq, done_seq):
+            """obs_seq: (B, L, N, ...) -> qs (L, B, N, A); carries are
+            zeroed after done steps, mirroring collection exactly."""
 
-            def body(carry, obs):
+            def body(carry, x):
+                obs, done = x
                 carry, q, _ = jax.vmap(
                     lambda o, c: agent_apply(net, o, c), in_axes=(0, 0)
                 )(obs, carry)
+                carry = jax.tree_util.tree_map(
+                    lambda h: jnp.where(done[..., None], 0.0, h), carry
+                )
                 return carry, q
 
             obs_lf = jax.tree_util.tree_map(
                 lambda x: jnp.swapaxes(x, 0, 1), obs_seq
             )  # (L, B, N, ...)
-            return jax.lax.scan(body, carry, obs_lf)
+            done_lf = jnp.swapaxes(done_seq, 0, 1)
+            return jax.lax.scan(body, carry, (obs_lf, done_lf))
 
         def td_loss(net):
             carry0 = (bh0, bc0)
@@ -269,14 +282,16 @@ def make_train_iter(
             burn_obs = jax.tree_util.tree_map(
                 lambda x: x[:, :burn_in], seq_obs
             )
-            carry_b, _ = unroll(net, carry0, burn_obs)
+            burn_done = seq_done[:, :burn_in]
+            main_done = seq_done[:, burn_in:]
+            carry_b, _ = unroll(net, carry0, burn_obs, burn_done)
             carry_b = jax.lax.stop_gradient(carry_b)
             main_obs = jax.tree_util.tree_map(
                 lambda x: x[:, burn_in:], seq_obs
             )
-            _, qs = unroll(net, carry_b, main_obs)  # (L', B, N, A)
-            carry_bt, _ = unroll(target_net, carry0, burn_obs)
-            _, qs_t = unroll(target_net, carry_bt, main_obs)
+            _, qs = unroll(net, carry_b, main_obs, main_done)  # (L', B, N, A)
+            carry_bt, _ = unroll(target_net, carry0, burn_obs, burn_done)
+            _, qs_t = unroll(target_net, carry_bt, main_obs, main_done)
 
             act = jnp.swapaxes(seq_act[:, burn_in:], 0, 1)  # (L', B, N)
             rew = jnp.swapaxes(seq_rew[:, burn_in:], 0, 1)
@@ -308,7 +323,14 @@ def make_train_iter(
 
             targets = jnp.stack([target_at(t) for t in range(lp)])
             td = q_sa - jax.lax.stop_gradient(targets)
-            return 0.5 * jnp.square(td).mean()
+            # Positions within nstep of the sequence end have truncated
+            # windows (no valid bootstrap) — mask them out of the loss.
+            t_mask = (
+                jnp.arange(lp) < lp - nstep
+            ).astype(jnp.float32)[:, None, None]
+            return 0.5 * (jnp.square(td) * t_mask).sum() / (
+                t_mask.sum() * td.shape[1] * td.shape[2]
+            )
 
         grads = jax.grad(td_loss)(net)
         grads = jax.tree_util.tree_map(jnp.add, grads, pred_grads)
@@ -358,7 +380,18 @@ def main(num_envs=None, iters=None, quiet=False):
     train_iter, empty_ring = make_train_iter(
         venv, opt, num_envs, hidden=hidden
     )
-    ring = jax.device_put(empty_ring(obs0), rep)
+    ring0 = empty_ring(obs0)
+
+    def ring_sharding(x):
+        if x.ndim >= 3 and x.shape[2] == num_envs:
+            return NamedSharding(mesh, P(None, None, "data"))  # (C, L, N, ...)
+        if x.ndim >= 2 and x.shape[1] == num_envs:
+            return NamedSharding(mesh, P(None, "data"))  # h0/c0 (C, N, H)
+        return rep
+
+    ring = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, ring_sharding(x)), ring0
+    )
     carry = (
         jax.device_put(jnp.zeros((num_envs, hidden)), dp),
         jax.device_put(jnp.zeros((num_envs, hidden)), dp),
