@@ -34,6 +34,7 @@ from .core import (
     ZeroLossFn,
     batch_space,
     rollout,
+    rollout_episodic,
     vmap_vector_env,
 )
 from .registry import env_ids, make, make_vec, registry

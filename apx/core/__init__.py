@@ -4,6 +4,7 @@ from .env import (
     AutoResetMode,
     VectorAPEnv,
     rollout,
+    rollout_episodic,
     vmap_vector_env,
 )
 from .losses import (

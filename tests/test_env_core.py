@@ -268,6 +268,18 @@ def test_rollout_episodic_bitwise_matches_lockstep_scan():
 
         key = jax.random.PRNGKey(17)
         num_steps = 13  # 2 full (4+1)-cycles + 3 leftover steps
+        # segments=0 edge: fewer steps than one cycle -> pure inner scan
+        from apx.core.env import rollout
+
+        _, _, (r_s, *_rest) = jax.jit(
+            lambda k: rollout(venv, params, policy, k, 3)
+        )(key)
+        _, _, (r_e, *_rest) = jax.jit(
+            lambda k: rollout_episodic(venv, params, policy, k, 3, 4)
+        )(key)
+        np.testing.assert_allclose(
+            np.asarray(r_s), np.asarray(r_e), rtol=3e-7, atol=1e-8
+        )
 
         # reference: plain scan of venv.step (shares rollout's key layout)
         from apx.core.env import rollout
