@@ -132,11 +132,20 @@ def generate_rooms_map(
 
 
 class MapBank(struct.PyTreeNode):
-    """HBM-resident bank of occupancy maps: (M, H, W) bool."""
+    """HBM-resident bank of occupancy maps: (M, H, W) bool.
+
+    For W <= 32 the bank also carries a bit-PACKED copy (``row_words``:
+    (M, H) uint32, bit x of word y = maps[m, y, x]) and ``fetch`` gathers
+    THAT: TPU gathers are per-element-cost-bound (PERF.md round 3), and
+    the NEXT_STEP masked autoreset re-fetches every env's map every step
+    — packing the fetch measured +15% on LIDARLocRooms end-to-end. The
+    unpack (shift+mask broadcast) is bitwise-identical to the bool rows.
+    """
 
     maps: jax.Array
     indices: jax.Array  # (M,) int64-as-int32-pair not needed; we keep uint32
     free_counts: jax.Array  # (M,) int32 — number of free cells per map
+    row_words: jax.Array | None = None  # (M, H) uint32 when W <= 32
     # Which procedural family generated the bank ("maze" | "rooms" |
     # "custom"): parity-mode map regeneration dispatches on THIS, never on
     # the map shape (a non-default-sized bank must not silently switch
@@ -164,6 +173,13 @@ class MapBank(struct.PyTreeNode):
         return (int(self.maps.shape[1]), int(self.maps.shape[2]))
 
     def fetch(self, bank_idx: jax.Array) -> jax.Array:
+        if self.row_words is not None:
+            _, w = self.map_hw
+            words = jnp.take(self.row_words, bank_idx, axis=0)  # (..., H)
+            bits = jnp.right_shift(
+                words[..., None], jnp.arange(w, dtype=jnp.uint32)
+            )
+            return (bits & jnp.uint32(1)) == 1  # (..., H, W) bool, bitwise
         return jnp.take(self.maps, bank_idx, axis=0)
 
 
@@ -197,10 +213,18 @@ def _make_bank(
     else:
         maps = np.stack([gen(int(i)) for i in indices])
     free = (~maps).reshape(maps.shape[0], -1).sum(axis=-1).astype(np.int32)
+    row_words = None
+    if maps.shape[2] <= 32:
+        row_words = jnp.asarray(
+            (maps.astype(np.uint64) << np.arange(maps.shape[2], dtype=np.uint64))
+            .sum(axis=-1)
+            .astype(np.uint32)
+        )
     return MapBank(
         maps=jnp.asarray(maps),
         indices=jnp.asarray(indices.astype(np.uint32)),
         free_counts=jnp.asarray(free),
+        row_words=row_words,
         kind=kind,
     )
 

@@ -608,3 +608,17 @@ def test_issue_rate_study_kernels():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=0, atol=0
         )
+
+
+def test_map_bank_packed_fetch_bitwise():
+    """fetch() via the uint32 row_words (the +15% NEXT_STEP autoreset fix)
+    returns bitwise the bool rows, scalar and batched."""
+    for bank in (make_rooms_bank(num_maps=6), make_maze_bank(num_maps=4)):
+        assert bank.row_words is not None
+        idx = jnp.asarray([3, 0, 2], jnp.int32)
+        got = bank.fetch(idx)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(bank.maps)[np.asarray(idx)]
+        )
+        got1 = bank.fetch(jnp.int32(1))
+        np.testing.assert_array_equal(np.asarray(got1), np.asarray(bank.maps)[1])
