@@ -146,6 +146,11 @@ class MapBank(struct.PyTreeNode):
     indices: jax.Array  # (M,) int64-as-int32-pair not needed; we keep uint32
     free_counts: jax.Array  # (M,) int32 — number of free cells per map
     row_words: jax.Array | None = None  # (M, H) uint32 when W <= 32
+    # (M, max_free) int32: row-major flat indices of each map's free cells
+    # (0-padded past free_counts[m]). Turns the spawn draw — "k-th free
+    # cell" — into one scalar gather instead of a per-env 1024-cell
+    # cumsum + searchsorted inside the every-step masked autoreset.
+    free_cells: jax.Array | None = None
     # Which procedural family generated the bank ("maze" | "rooms" |
     # "custom"): parity-mode map regeneration dispatches on THIS, never on
     # the map shape (a non-default-sized bank must not silently switch
@@ -220,11 +225,17 @@ def _make_bank(
             .sum(axis=-1)
             .astype(np.uint32)
         )
+    max_free = int(free.max()) if len(free) else 0
+    free_cells = np.zeros((maps.shape[0], max_free), np.int32)
+    for m in range(maps.shape[0]):
+        idxs = np.flatnonzero(~maps[m].reshape(-1))
+        free_cells[m, : len(idxs)] = idxs
     return MapBank(
         maps=jnp.asarray(maps),
         indices=jnp.asarray(indices.astype(np.uint32)),
         free_counts=jnp.asarray(free),
         row_words=row_words,
+        free_cells=jnp.asarray(free_cells),
         kind=kind,
     )
 

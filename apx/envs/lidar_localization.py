@@ -399,13 +399,19 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
             )
         occ = params.map_bank.fetch(bank_pos)
         h, w = params.map_bank.map_hw
-        free = ~occ.reshape(-1)
         n_free = jnp.take(params.map_bank.free_counts, bank_pos)
         k = jax.random.randint(k_cell, (), 0, n_free, dtype=jnp.int32)
         # k-th free cell in row-major order == np.where order (:303-311).
-        flat_idx = jnp.searchsorted(
-            jnp.cumsum(free.astype(jnp.int32)), k + 1, side="left"
-        ).astype(jnp.int32)
+        if params.map_bank.free_cells is not None:
+            # Precomputed per-map table: one scalar gather instead of a
+            # 1024-cell cumsum + searchsorted — this runs for every env on
+            # nearly every step inside the masked autoreset (PERF.md).
+            flat_idx = params.map_bank.free_cells[bank_pos, k]
+        else:
+            free = ~occ.reshape(-1)
+            flat_idx = jnp.searchsorted(
+                jnp.cumsum(free.astype(jnp.int32)), k + 1, side="left"
+            ).astype(jnp.int32)
         cy, cx = jnp.divmod(flat_idx, w)
         pos = jnp.array([cx, cy], dtype=jnp.float32) + 0.5
         state = LIDARLocalizationState(
