@@ -249,7 +249,12 @@ def test_rollout_episodic_bitwise_matches_lockstep_scan():
     localization semantics."""
     import jax
 
-    from apx.core.env import AutoResetMode, rollout_episodic, vmap_vector_env
+    from apx.core.env import (
+        AutoResetMode,
+        rollout,
+        rollout_episodic,
+        vmap_vector_env,
+    )
     from apx.data import make_circle_square_bank
     from apx.envs import ImageClassificationEnv, ImageLocalizationEnv
 
@@ -269,8 +274,6 @@ def test_rollout_episodic_bitwise_matches_lockstep_scan():
         key = jax.random.PRNGKey(17)
         num_steps = 13  # 2 full (4+1)-cycles + 3 leftover steps
         # segments=0 edge: fewer steps than one cycle -> pure inner scan
-        from apx.core.env import rollout
-
         _, _, (r_s, *_rest) = jax.jit(
             lambda k: rollout(venv, params, policy, k, 3)
         )(key)
@@ -282,8 +285,6 @@ def test_rollout_episodic_bitwise_matches_lockstep_scan():
         )
 
         # reference: plain scan of venv.step (shares rollout's key layout)
-        from apx.core.env import rollout
-
         obs_a, state_a, (r_a, te_a, tr_a) = jax.jit(
             lambda k: rollout(venv, params, policy, k, num_steps)
         )(key)
