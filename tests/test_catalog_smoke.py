@@ -49,3 +49,10 @@ def test_env_id_smoke(env_id):
         )
     assert np.isfinite(np.asarray(r, dtype=np.float64)).all()
     assert "base_reward" in info and "prediction" in info
+    # Every env's observations must lie in its declared observation space
+    # (checked per env after two steps — catches drifting normalizations
+    # and out-of-range time/odometry channels catalog-wide).
+    space = venv.env.observation_space(params)
+    for i in range(2):
+        single = jax.tree_util.tree_map(lambda x: np.asarray(x)[i], obs)
+        assert space.contains(single), env_id
