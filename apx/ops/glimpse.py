@@ -84,7 +84,7 @@ def glimpse_coords(
 
 
 #: Measured max |error| vs a float64 oracle on TinyImageNet geometry
-#: (uint8/255 inputs, 10x10 sensor; /tmp precision-ladder study, PERF.md
+#: (uint8/255 inputs, 10x10 sensor; apx.ops.glimpse_study, PERF.md
 #: round 3): "highest" 1.7e-7, "high" 3.9e-5, "default" 5.5e-3.
 PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
