@@ -329,3 +329,35 @@ def test_advanced_usage_doc_blocks_execute():
             sys.modules["ap_gym"] = saved
         else:
             sys.modules.pop("ap_gym", None)
+
+
+def test_parse_trace_tool(tmp_path):
+    """apx.tools.parse_trace summarizes a chrome trace into per-op rows."""
+    import gzip
+    import json
+
+    from apx.tools.parse_trace import load_trace, summarize
+
+    trace = {
+        "traceEvents": [
+            {"ph": "M", "pid": 3, "name": "process_name",
+             "args": {"name": "/device:TPU:0"}},
+            {"ph": "M", "pid": 7, "name": "process_name",
+             "args": {"name": "/host:CPU"}},
+            {"ph": "X", "pid": 3, "name": "fusion.1", "dur": 100},
+            {"ph": "X", "pid": 3, "name": "fusion.1", "dur": 50},
+            {"ph": "X", "pid": 3, "name": "copy.2", "dur": 70},
+            {"ph": "X", "pid": 7, "name": "python", "dur": 9000},
+        ]
+    }
+    d = tmp_path / "plugins" / "profile" / "2026_01_01"
+    d.mkdir(parents=True)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump(trace, f)
+
+    rows = summarize(load_trace(str(tmp_path)))
+    assert rows[0] == ("/device:TPU:0", "fusion.1", 150, 2)
+    assert rows[1] == ("/device:TPU:0", "copy.2", 70, 1)
+    assert all("/host" not in r[0] for r in rows)
+    rows_all = summarize(load_trace(str(tmp_path)), device_only=False)
+    assert any(r[1] == "python" for r in rows_all)
