@@ -355,7 +355,8 @@ def main():
     ap.add_argument("--all", action="store_true", help="print one line per env")
     ap.add_argument(
         "--profile", metavar="DIR", default=None,
-        help="capture a jax.profiler trace of the timed region into DIR",
+        help="capture a jax.profiler trace of the timed region into DIR "
+        "(summarize with python -m apx.tools.parse_trace DIR)",
     )
     ap.add_argument(
         "--multihost", action="store_true",
