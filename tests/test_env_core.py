@@ -302,3 +302,31 @@ def test_rollout_episodic_bitwise_matches_lockstep_scan():
             jax.tree_util.tree_leaves((obs_b, state_b.inner)),
         ):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_segmented_scan_splice_pattern():
+    """segmented_scan runs inner_body on every key except each
+    (period+1)-th, where boundary_body runs instead; outputs stack in
+    step order; a trailing partial segment gets no boundary."""
+    import jax
+
+    from apx.core.env import segmented_scan
+
+    def inner(carry, k):
+        return carry + 1, (jnp.float32(0), carry)
+
+    def boundary(carry, k):
+        return carry * 10, (jnp.float32(1), carry)
+
+    keys = jnp.arange(8)  # period=2 -> cycles of 3: [i i B][i i B][i i]
+    carry_f, (kinds, carries) = jax.jit(
+        lambda c: segmented_scan(inner, boundary, c, keys, 2)
+    )(jnp.int32(0))
+    np.testing.assert_array_equal(
+        np.asarray(kinds), [0, 0, 1, 0, 0, 1, 0, 0]
+    )
+    # carry trace: 0,1 -> B(2)=20; 20,21 -> B(22)=220; 220,221 -> 222
+    np.testing.assert_array_equal(
+        np.asarray(carries), [0, 1, 2, 20, 21, 22, 220, 221]
+    )
+    assert int(carry_f) == 222
