@@ -16,10 +16,72 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Bound on TPU backend initialization. Under the axon relay an outage makes
+# jax.devices() hang indefinitely (round 3: a 240 s run printed nothing),
+# so the driver's BENCH record carried a bare rc=1 traceback or no output
+# at all. The guard runs the first backend touch on a watchdog thread and,
+# on timeout or error, emits ONE parseable JSON line that names the failed
+# phase — outage rounds stay distinguishable from perf regressions in the
+# BENCH history. Override with APX_BENCH_INIT_TIMEOUT (seconds).
+_INIT_TIMEOUT_S = float(os.environ.get("APX_BENCH_INIT_TIMEOUT", "180"))
+
+
+def _backend_failure_record(phase: str, error: str) -> dict:
+    return {
+        "metric": "backend_unavailable",
+        "value": 0.0,
+        "unit": "env-steps/s",
+        "vs_baseline": 0.0,
+        "error": error,
+        "phase": phase,
+        "fingerprint": None,
+    }
+
+
+def init_backend_guarded(timeout_s: float = _INIT_TIMEOUT_S, probe=None) -> dict | None:
+    """Touch the JAX backend with a deadline.
+
+    Returns None on success; on timeout or init error returns a structured
+    failure record (the caller prints it as the bench output). `probe` is
+    injectable for tests; the default lists devices and runs one tiny op so
+    both the handshake and the execute path are covered.
+    """
+
+    if probe is None:
+
+        def probe():
+            d = jax.devices()
+            jnp.zeros((), jnp.float32).block_until_ready()
+            return d
+
+    result: dict = {}
+
+    def target():
+        try:
+            result["devices"] = probe()
+        except Exception as e:  # noqa: BLE001 — report, don't crash
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return _backend_failure_record(
+            "backend_init",
+            f"backend initialization exceeded {timeout_s:.0f}s "
+            "(relay outage: jax.devices() hung)",
+        )
+    if "error" in result:
+        return _backend_failure_record("backend_init", result["error"])
+    return None
 
 
 def bench_env(venv, params, num_steps: int, key) -> float:
@@ -395,6 +457,20 @@ def main():
         "relay's chip variance, PERF.md)",
     )
     args = ap.parse_args()
+
+    failure = init_backend_guarded()
+    if failure is not None:
+        print(json.dumps(failure), flush=True)
+        if args.emit:
+            with open(args.emit, "w") as f:
+                json.dump(failure, f, indent=1)
+                f.write("\n")
+        # The JSON line above IS the artifact; exit 0 so the driver's
+        # parser records it (the "error"/"phase" fields mark the outage).
+        # A stuck watchdog thread would block normal interpreter teardown,
+        # so leave via os._exit.
+        sys.stdout.flush()
+        os._exit(0)
 
     if args.distributed:
         from apx.distrib import init_distributed

@@ -274,6 +274,35 @@ def test_bench_harness_runs():
     assert sps > 0
 
 
+def test_bench_backend_watchdog():
+    """bench.py's init guard: a hung backend probe must yield a structured,
+    parseable failure record within the deadline (round-3 outage produced a
+    bare rc=1 traceback / infinite hang); a healthy probe yields None."""
+    import json
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    t0 = time.perf_counter()
+    rec = bench.init_backend_guarded(timeout_s=0.2, probe=lambda: time.sleep(30))
+    assert time.perf_counter() - t0 < 5
+    assert rec is not None and rec["phase"] == "backend_init"
+    assert rec["fingerprint"] is None and "hung" in rec["error"]
+    json.loads(json.dumps(rec))  # one-line JSON artifact round-trips
+
+    def broken():
+        raise RuntimeError("Unable to initialize backend 'axon': UNAVAILABLE")
+
+    rec = bench.init_backend_guarded(timeout_s=5.0, probe=broken)
+    assert rec is not None and "UNAVAILABLE" in rec["error"]
+    assert rec["metric"] == "backend_unavailable" and rec["value"] == 0.0
+
+    assert bench.init_backend_guarded(timeout_s=30.0, probe=lambda: [1]) is None
+
+
 def test_advanced_usage_doc_blocks_execute():
     """Every python block in docs/advanced_usage.md actually runs (scaled
     down): the custom-env authoring docs stay honest."""
