@@ -6,14 +6,29 @@ the image batch, sensor position, time step, RNG, data loader and render
 overlays. apx's execution path replaces it with the device-side
 `ImagePerceptionEngine` (apx/envs/image_perception.py) + host RNG shims,
 but user code may construct the module directly, so this is a drop-in host
-implementation with the same ctor, methods, draw order and numerics.
+implementation: same constructor, methods, RNG draw order and numerics
+(asserted bitwise against the reference module in
+tests/test_perception_module.py).
 
-Implementation differences from the reference (behavior preserved):
-  * `get_glimpse` is one vectorized numpy bilinear kernel over all envs and
-    sensing points (`_bilinear_batch`) instead of a per-env
-    scipy.RegularGridInterpolator loop. The kernel reproduces scipy's exact
-    f64 arithmetic (searchsorted cell lookup, corner accumulation order),
-    so outputs are bitwise-identical — asserted by the golden tests.
+Architecture (deliberately not the reference's monolith):
+  * Episode data lives in an immutable `_Episode` snapshot; `step` swaps
+    snapshots through the pure-ish `_advance`, mirroring apx's functional
+    device envs rather than the reference's 14 mutable private attributes.
+  * Observations come from a declarative channel table built once at
+    construction — each entry carries its gym space and its reader — so the
+    space dict and `observe()` cannot drift apart.
+  * Sensing is one vectorized numpy bilinear kernel over all envs and
+    sensing points (`_bilinear_batch`) instead of the reference's per-env
+    scipy.RegularGridInterpolator loop. It reproduces scipy's exact f64
+    arithmetic (searchsorted cell lookup, corner accumulation order), so
+    outputs are bitwise-identical — asserted by
+    tests/test_perception_module.py::test_bilinear_batch_matches_scipy.
+  * Visitation/quality bookkeeping and frame compositing delegate to the
+    shared canvas helpers in apx/render/render.py (`stamp_rect`,
+    `visitation_overlay`, `blend_overlay`, `upscale_to_rgb`,
+    `outlined_box`) — the same machinery behind the env-level render path.
+
+Intentional behavior extensions (reference quirks preserved otherwise):
   * `unique_sampling_max_grid_cell_size_rel` is a real dataclass field
     (in the reference it is an unannotated class attribute and therefore
     not constructor-settable); passing it is an apx extension.
@@ -23,13 +38,14 @@ Implementation differences from the reference (behavior preserved):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Sequence
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Callable, Sequence
 
 import gymnasium as gym
 import numpy as np
 
-from ..render.style import COLOR_AGENT, COLOR_BAD, COLOR_GOOD
+from ..render.style import COLOR_AGENT
 from .dataset_classes import ImageClassificationDataset
 from .gym_spaces import ImageSpace
 
@@ -62,6 +78,11 @@ def _project_sphere(x: np.ndarray, radius: float = 1.0) -> np.ndarray:
     return np.where(magnitude > radius, direction * radius, x)
 
 
+def _require_finite(name: str, values: np.ndarray) -> None:
+    if np.any(np.isnan(values)):
+        raise ValueError(f"NaN values detected in {name}.")
+
+
 def _bilinear_batch(images: np.ndarray, points: np.ndarray) -> np.ndarray:
     """Bilinear interpolation of per-env images at per-env point grids.
 
@@ -91,15 +112,63 @@ def _bilinear_batch(images: np.ndarray, points: np.ndarray) -> np.ndarray:
     return out
 
 
-def _quality_rgb(quality: np.ndarray) -> np.ndarray:
-    """Array-valued red->green lerp (envs/style.py:13-19)."""
-    q = np.clip(quality, 0, 1)[..., None]
-    return (q * np.array(COLOR_GOOD) + (1 - q) * np.array(COLOR_BAD)).astype(np.int_)
+def _pairwise_uniqueness(glimpses: np.ndarray) -> np.ndarray:
+    """(N, P, ...) candidate glimpses -> (N, P) uniqueness score: each
+    candidate's minimum MSE against every OTHER candidate of the same env
+    (diagonal masked with +inf). Higher = more distinctive."""
+    diff = np.mean((glimpses[:, None] - glimpses[:, :, None]) ** 2, axis=(-3, -2, -1))
+    return np.min(diff + np.diag(np.full(diff.shape[-1], np.inf)), axis=-1)
+
+
+@dataclass(frozen=True)
+class _Episode:
+    """One lockstep episode's data: swapped wholesale on reset, advanced
+    via dataclasses.replace on step (never mutated in place)."""
+
+    images: np.ndarray  # (N, H, W, C) float
+    labels: np.ndarray  # (N,)
+    batch_idx: np.ndarray  # (N,) dataset indices
+    inverted: np.ndarray | None  # (N,) bool, only with randomly_invert_labels
+    pos: np.ndarray  # (N, 2) normalized sensor position
+    t: int  # steps taken this episode
+
+
+class _Canvas:
+    """Batched visitation + prediction-quality canvas at render resolution.
+
+    Geometry rule per the reference (module.py:167-183): render width =
+    max(128, glimpse pixel width), height scaled to preserve the image
+    aspect ratio. Stamping delegates to the shared
+    apx.render.render.stamp_rect."""
+
+    def __init__(self, num_envs: int, image_hw, glimpse_width: int):
+        width = max(128, glimpse_width)
+        self.scaling = width / image_hw[1]
+        self.size = (width, int(round(self.scaling * image_hw[0])))
+        shape = (num_envs, self.size[1], self.size[0])
+        self.counts = np.zeros(shape, dtype=np.int32)
+        self.quality = np.zeros(shape, dtype=np.float32)
+
+    def clear(self) -> None:
+        self.counts.fill(0)
+        self.quality.fill(0)
+
+    def stamp(self, centers_xy, stamp_wh, quality) -> None:
+        from ..render.render import stamp_rect
+
+        stamp_rect(self.counts, self.quality, centers_xy, stamp_wh, quality)
+
+    def overlay(self, visited_opacity: float, unvisited_opacity: float):
+        from ..render.render import visitation_overlay
+
+        return visitation_overlay(
+            self.counts, self.quality, visited_opacity, unvisited_opacity
+        )
 
 
 class ImagePerceptionModule:
-    """(image_perception_module.py:42-477). See module docstring for the
-    intentional implementation differences."""
+    """(image_perception_module.py:42-477). See the module docstring for the
+    architecture and the intentional differences."""
 
     def __init__(self, num_envs: int, config: ImagePerceptionConfig):
         self._config = config
@@ -109,32 +178,69 @@ class ImagePerceptionModule:
         self._single_inner_action_space = gym.spaces.Box(
             -np.ones(2, dtype=np.float32), np.ones(2, dtype=np.float32)
         )
-        self._observation_space_dict = {
-            "glimpse": ImageSpace(
-                config.sensor_size[1],
-                config.sensor_size[0],
-                self._channels,
-                dtype=np.float32,
-            ),
-            "glimpse_pos": gym.spaces.Box(-1, 1, (2,), np.float32),
-            "time_step": gym.spaces.Box(-1, 1, (), np.float32),
-        }
-        if config.randomly_invert_labels:
-            self._observation_space_dict["inverted_label"] = gym.spaces.Discrete(3)
         max_step_length = np.array(config.max_step_length)
         assert max_step_length.shape in {(2,), (1,), ()}
         self._max_step_length = np.ones(2) * max_step_length
+        self._channel_table = self._build_channels()
         self._rng: np.random.Generator | None = None
         self._loader = None
-        self._images = self._labels = self._data_idx = None
-        self._labels_inverted = None
-        self._pos_norm = None
-        self._time_step = None
-        self._prev_done = None
-        self._render_size = self._render_scaling = None
-        self._visit_counts = self._quality_map = None
+        self._episode: _Episode | None = None
+        self._canvas: _Canvas | None = None
+        self._rollover: np.ndarray | None = None
 
-    # -- lifecycle ---------------------------------------------------------
+    # -- observation channels ------------------------------------------------
+
+    def _build_channels(
+        self,
+    ) -> list[tuple[str, gym.spaces.Space, Callable[[_Episode], np.ndarray]]]:
+        """Observation contract as data: (name, space, reader) triples, in
+        the reference's key order. `observe()` and `observation_space_dict`
+        both derive from this single table."""
+        cfg = self._config
+        n = self._num_envs
+
+        def read_time(ep: _Episode) -> np.ndarray:
+            frac = (ep.t / cfg.step_limit) * 2 - 1
+            return np.full(n, frac, np.float32)
+
+        table = [
+            (
+                "glimpse",
+                ImageSpace(
+                    cfg.sensor_size[1],
+                    cfg.sensor_size[0],
+                    self._channels,
+                    dtype=np.float32,
+                ),
+                lambda ep: self.get_glimpse(ep.pos),
+            ),
+            (
+                "glimpse_pos",
+                gym.spaces.Box(-1, 1, (2,), np.float32),
+                lambda ep: ep.pos.astype(np.float32),
+            ),
+            ("time_step", gym.spaces.Box(-1, 1, (), np.float32), read_time),
+        ]
+        if cfg.randomly_invert_labels:
+            # Inversion bits are visible only at t=0; afterwards the channel
+            # pins to the sentinel 2 (module.py:246-251).
+            table.append(
+                (
+                    "inverted_label",
+                    gym.spaces.Discrete(3),
+                    lambda ep: (
+                        ep.inverted.astype(np.int32) if ep.t == 0 else np.full(n, 2)
+                    ),
+                )
+            )
+        return table
+
+    def observe(self) -> dict[str, np.ndarray]:
+        return {name: read(self._episode) for name, _, read in self._channel_table}
+
+    _get_obs = observe  # reference-internal name, kept for drop-in users
+
+    # -- lifecycle -------------------------------------------------------------
 
     def seed(self, seed: int | None = None):
         """RNG chain: module rng from seed; iterator rng from a second draw
@@ -154,103 +260,97 @@ class ImagePerceptionModule:
             prefetch_buffer_size=self._config.prefetch_buffer_size,
         )
 
-    def reset(self) -> tuple[dict[str, np.ndarray], dict[str, Any]]:
-        """Draw order per episode: batch indices (iterator rng), label
-        inversion bits, start positions (module rng)
-        (image_perception_module.py:120-189)."""
-        if self._rng is None:
-            self.seed()
-        (self._images, labels), self._data_idx = next(self._loader)
-        if self._config.randomly_invert_labels:
-            self._labels_inverted = (
-                self._rng.integers(0, 2, size=self._num_envs) == 1
-            )
-            labels = np.where(
-                self._labels_inverted,
-                self._config.dataset.num_classes - labels - 1,
-                labels,
-            )
-        self._labels = labels
-        if np.any(np.array(self._images.shape[1:3]) < self.effective_sensor_size):
-            raise ValueError(
-                f"Image size {tuple(self._images.shape[1:3])} cannot be smaller "
-                f"than effective sensor size {tuple(self.effective_sensor_size)}."
-            )
-        self._pos_norm = self._rng.uniform(-1, 1, size=(self._num_envs, 2))
-        self._time_step = 0
-        obs = self._get_obs()
-        if self._visit_counts is None:
-            render_width = max(128, obs["glimpse"].shape[2])
-            self._render_scaling = render_width / self._image_size[1]
-            render_height = int(round(self._render_scaling * self._image_size[0]))
-            self._render_size = (render_width, render_height)
-            shape = (self._num_envs, render_height, render_width)
-            self._visit_counts = np.zeros(shape, dtype=np.int32)
-            self._quality_map = np.zeros(shape, dtype=np.float32)
-        else:
-            self._visit_counts.fill(0)
-            self._quality_map.fill(0)
-        self._prev_done = np.zeros(self._num_envs, dtype=np.bool_)
-        return obs, {"index": self._data_idx}
-
-    def step(self, action: np.ndarray, prediction_quality: np.ndarray):
-        """Lockstep autoreset (partial reset raises), movement by projected
-        action * max_step_length clipped to [-1, 1], reward -1e-3*|action|,
-        termination at step_limit (image_perception_module.py:191-217)."""
-        if np.any(np.isnan(prediction_quality)):
-            raise ValueError("NaN values detected in prediction.")
-        self._paint_visitation(prediction_quality)
-        if np.any(self._prev_done):
-            if not np.all(self._prev_done):
-                raise NotImplementedError("Partial reset is not supported.")
-            obs, info = self.reset()
-            terminated = False
-            base_reward = np.zeros(self._num_envs)
-        else:
-            if np.any(np.isnan(action)):
-                raise ValueError("NaN values detected in action.")
-            step = self._max_step_length * _project_sphere(action)
-            self._pos_norm = np.clip(self._pos_norm + step, -1, 1)
-            base_reward = -np.linalg.norm(action, axis=-1) * 1e-3
-            info = {"index": self._data_idx}
-            self._time_step += 1
-            terminated = self._time_step >= self._config.step_limit
-            obs = self._get_obs()
-        terminated = np.full(self._num_envs, terminated)
-        truncated = np.zeros(self._num_envs, dtype=np.bool_)
-        self._prev_done = terminated | truncated
-        return obs, base_reward, terminated, truncated, info
-
     def close(self):
         if self._loader is not None:
             self._loader.close()
 
-    # -- observation / sampling --------------------------------------------
-
-    def _get_obs(self) -> dict[str, np.ndarray]:
-        obs = {
-            "glimpse": self.get_glimpse(self._pos_norm),
-            "glimpse_pos": self._pos_norm.astype(np.float32),
-            "time_step": np.full(
-                self._num_envs,
-                (self._time_step / self._config.step_limit) * 2 - 1,
-                np.float32,
-            ),
-        }
-        if self._config.randomly_invert_labels:
-            # 0/1 only at t=0, constant 2 afterwards
-            # (image_perception_module.py:246-251).
-            obs["inverted_label"] = (
-                np.full(self._num_envs, 2)
-                if self._time_step > 0
-                else self._labels_inverted.astype(np.int32)
+    def _spawn_episode(self) -> _Episode:
+        """Episode draw order (the parity-pinned chain, module.py:120-161):
+        batch indices from the iterator rng, then label-inversion bits, then
+        start positions from the module rng."""
+        cfg = self._config
+        (images, labels), batch_idx = next(self._loader)
+        inverted = None
+        if cfg.randomly_invert_labels:
+            inverted = self._rng.integers(0, 2, size=self._num_envs) == 1
+            labels = np.where(inverted, cfg.dataset.num_classes - labels - 1, labels)
+        if np.any(np.array(images.shape[1:3]) < self.effective_sensor_size):
+            raise ValueError(
+                f"Image size {tuple(images.shape[1:3])} cannot be smaller "
+                f"than effective sensor size {tuple(self.effective_sensor_size)}."
             )
-        return obs
+        pos = self._rng.uniform(-1, 1, size=(self._num_envs, 2))
+        return _Episode(
+            images=images,
+            labels=labels,
+            batch_idx=batch_idx,
+            inverted=inverted,
+            pos=pos,
+            t=0,
+        )
 
-    def get_glimpse(self, pos_norm: np.ndarray) -> np.ndarray:
-        """G x G sensing grid around the denormalized position, bilinearly
-        interpolated per env, clipped to [0, 1] f32
-        (image_perception_module.py:294-331)."""
+    def reset(self) -> tuple[dict[str, np.ndarray], dict[str, Any]]:
+        if self._rng is None:
+            self.seed()
+        self._episode = self._spawn_episode()
+        obs = self.observe()
+        if self._canvas is None:
+            self._canvas = _Canvas(
+                self._num_envs, self._image_size, obs["glimpse"].shape[2]
+            )
+        else:
+            self._canvas.clear()
+        self._rollover = np.zeros(self._num_envs, dtype=np.bool_)
+        return obs, {"index": self._episode.batch_idx}
+
+    # -- stepping ----------------------------------------------------------------
+
+    def _rollover_due(self) -> bool:
+        """True when EVERY env finished last step (lockstep contract); a
+        partial rollover is unsupported, like the reference."""
+        done = int(self._rollover.sum())
+        if done and done != self._num_envs:
+            raise NotImplementedError("Partial reset is not supported.")
+        return bool(done)
+
+    def _advance(self, action: np.ndarray) -> np.ndarray:
+        """Swap in the moved episode snapshot; returns the action cost.
+        Movement = clip(pos + max_step_length * project_sphere(action)),
+        cost = -1e-3 * |action| (module.py:203-211)."""
+        ep = self._episode
+        delta = self._max_step_length * _project_sphere(action)
+        self._episode = dataclasses.replace(
+            ep, pos=np.clip(ep.pos + delta, -1, 1), t=ep.t + 1
+        )
+        return -np.linalg.norm(action, axis=-1) * 1e-3
+
+    def step(self, action: np.ndarray, prediction_quality: np.ndarray):
+        """Overlay stamp happens FIRST (at the pre-step position, with this
+        step's prediction quality), then either the lockstep rollover or a
+        movement step (module.py:191-217)."""
+        _require_finite("prediction", prediction_quality)
+        centers, stamp_wh = self._sensor_footprint()
+        self._canvas.stamp(centers, stamp_wh, prediction_quality)
+        if self._rollover_due():
+            obs, info = self.reset()
+            reward = np.zeros(self._num_envs)
+            at_limit = False
+        else:
+            _require_finite("action", action)
+            reward = self._advance(action)
+            obs = self.observe()
+            info = {"index": self._episode.batch_idx}
+            at_limit = self._episode.t >= self._config.step_limit
+        terminated = np.full(self._num_envs, at_limit)
+        truncated = np.zeros(self._num_envs, dtype=np.bool_)
+        self._rollover = terminated | truncated
+        return obs, reward, terminated, truncated, info
+
+    # -- sensing --------------------------------------------------------------
+
+    def _sensing_points(self, pos_norm: np.ndarray) -> np.ndarray:
+        """(..., s0, s1, 2) absolute (y, x) pixel coordinates of the sensing
+        grid centered at each normalized position (module.py:294-311)."""
         s0, s1 = self._config.sensor_size
         scale = self._config.sensor_scale
         offsets = np.stack(
@@ -261,121 +361,100 @@ class ImagePerceptionModule:
             ),
             axis=-1,
         )
-        points = (
-            np.flip(self.denormalize_coords(pos_norm), axis=-1)[..., None, None, :]
-            + offsets[None]
+        centers = np.flip(self.denormalize_coords(pos_norm), axis=-1)
+        return centers[..., None, None, :] + offsets[None]
+
+    def get_glimpse(self, pos_norm: np.ndarray) -> np.ndarray:
+        """s0 x s1 sensing grid, bilinearly interpolated per env, clipped to
+        [0, 1] f32. One vectorized kernel call; see _bilinear_batch."""
+        points = self._sensing_points(pos_norm)
+        return _bilinear_batch(self._episode.images, points).clip(0, 1).astype(
+            np.float32
         )
-        return _bilinear_batch(self._images, points).clip(0, 1).astype(np.float32)
+
+    def _candidate_grid(self) -> tuple[np.ndarray, np.ndarray]:
+        """Uniform candidate lattice over normalized position space, cell
+        size capped at unique_sampling_max_grid_cell_size_rel sensor sizes
+        (module.py:253-267). Returns (max_cell, (P, 2) positions)."""
+        cell = (
+            self.normalize_coords(self.effective_sensor_size)
+            * self._config.unique_sampling_max_grid_cell_size_rel
+        )
+        counts = np.ceil(2 / cell)
+        axes = (np.linspace(-1, 1, int(c)) for c in counts)
+        grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 2)
+        return cell, grid
 
     def sample_unique_glimpse_positions(self) -> np.ndarray:
-        """Candidate grid -> pairwise-MSE uniqueness -> uniform pick among
-        top-k -> jitter (image_perception_module.py:253-292)."""
+        """Rank candidate positions by glimpse distinctiveness, draw one of
+        the top-k per env, jitter within a grid cell (module.py:253-292).
+        Draw order: selection indices, then jitter, both from the module
+        rng. A pick index < top_k means ranking the full argsort and
+        indexing it directly equals the reference's explicit top-k slice."""
         cfg = self._config
-        max_cell = (
-            self.normalize_coords(self.effective_sensor_size)
-            * cfg.unique_sampling_max_grid_cell_size_rel
-        )
-        counts = np.ceil(2 / max_cell)
-        grid = np.stack(
-            np.meshgrid(
-                np.linspace(-1, 1, int(counts[0])),
-                np.linspace(-1, 1, int(counts[1])),
-                indexing="ij",
-            ),
-            axis=-1,
-        ).reshape(-1, 2)
-        glimpses = self.get_glimpse(grid[None])
-        diff = np.mean(
-            (glimpses[:, None] - glimpses[:, :, None]) ** 2, axis=(-3, -2, -1)
-        )
-        uniqueness = np.min(diff + np.diag(np.full(len(grid), np.inf)), axis=-1)
-        top_k = np.argsort(-uniqueness, axis=-1)[:, : cfg.unique_sampling_top_k]
+        cell, grid = self._candidate_grid()
+        ranking = np.argsort(-_pairwise_uniqueness(self.get_glimpse(grid[None])))
         pick = self._rng.integers(0, cfg.unique_sampling_top_k, size=self._num_envs)
-        base = grid[top_k[np.arange(self._num_envs), pick]]
-        jitter = self._rng.uniform(-max_cell, max_cell, (self._num_envs, 2))
-        return np.clip(base + jitter, -1, 1)
+        anchors = grid[ranking[np.arange(self._num_envs), pick]]
+        jitter = self._rng.uniform(-cell, cell, (self._num_envs, 2))
+        return np.clip(anchors + jitter, -1, 1)
 
     # -- render --------------------------------------------------------------
 
-    def _rects(self):
-        pos = self.to_render_coords(self._pos_norm)
-        size = self.effective_sensor_size * self._render_scaling
-        return pos, size
+    def _sensor_footprint(self) -> tuple[np.ndarray, np.ndarray]:
+        """Current sensor rectangles in render coordinates: (N, 2) centers
+        and the (2,) stamp (width, height)."""
+        centers = self.to_render_coords(self._episode.pos)
+        stamp_wh = np.flip(self.effective_sensor_size * self._canvas.scaling)
+        return centers, stamp_wh
 
-    def _paint_visitation(self, prediction_quality: np.ndarray | None = None):
-        """(image_perception_module.py:219-234). Uses numpy fancy-index +=
-        like the reference, so overlapping clipped cells count once."""
-        pos, size = self._rects()
-        pos = np.round(pos).astype(np.int32)
-        size = np.round(np.flip(size)).astype(np.int32)
-        xs = pos[..., 0, None] + np.arange(size[0]) - size[0] // 2
-        ys = pos[..., 1, None] + np.arange(size[1]) - size[1] // 2
-        coords = (
-            np.arange(self._num_envs)[:, None, None],
-            np.clip(ys, 0, self._visit_counts.shape[1] - 1)[:, :, None],
-            np.clip(xs, 0, self._visit_counts.shape[2] - 1)[:, None, :],
-        )
-        self._visit_counts[coords] += 1
-        if prediction_quality is not None:
-            self._quality_map[coords] = np.clip(
-                prediction_quality[:, None, None], 0, 1
-            )
+    def _render_base_images(self) -> np.ndarray:
+        imgs = self._episode.images
+        if self._channels == 1:
+            return imgs[..., 0]
+        if self._channels != 3:
+            raise NotImplementedError()
+        return imgs
 
     def render(self, return_pil_imgs: bool = False):
-        """PIL compositing: nearest-upscaled image, visitation/quality
-        overlay, shadowed agent rectangle
-        (image_perception_module.py:333-401)."""
-        from PIL import Image, ImageDraw
-        from PIL.Image import Resampling
+        """Per-env frame = nearest-upscaled image, optional visitation /
+        quality overlay, shadowed agent rectangle — all via the shared
+        compositing helpers in apx.render.render."""
+        import PIL.Image
+        import PIL.ImageDraw
 
-        imgs = self._images
-        if self._channels == 1:
-            imgs = imgs[..., 0]
-        elif self._channels != 3:
-            raise NotImplementedError()
-        pos, size = self._rects()
-        top_left = pos - size / 2
-        bottom_right = pos + size / 2
-        bw = self.glimpse_border_width
+        from ..render.render import blend_overlay, outlined_box, upscale_to_rgb
 
-        visited = self._visit_counts > 0
-        rgba = np.concatenate(
-            [
-                _quality_rgb(self._quality_map),
-                np.full_like(
-                    self._quality_map[..., None],
-                    int(255 * self._config.render_visited_opacity),
-                ),
-            ],
-            axis=-1,
-        )
-        overlay = (
-            visited[..., None] * rgba
-            + ~visited[..., None]
-            * (0, 0, 0, int(255 * self._config.render_unvisited_opacity))
-        ).round().astype(np.uint8)
-
-        frames = []
-        for img, tl, br, ol in zip(imgs, top_left, bottom_right, overlay):
-            frame = (
-                Image.fromarray((img * 255).astype(np.uint8))
-                .resize(self._render_size, resample=Resampling.NEAREST)
-                .convert("RGB")
+        cfg = self._config
+        bases = self._render_base_images()
+        overlays = (
+            self._canvas.overlay(
+                cfg.render_visited_opacity, cfg.render_unvisited_opacity
             )
-            if self._config.display_visitation:
-                # Manual alpha blend: PIL's alpha_composite needs RGBA base
-                # images, which break rectangle drawing (reference carries
-                # the same workaround, :375-385).
-                alpha = ol[..., -1:] / 255
-                frame = Image.fromarray(
-                    (np.array(frame) * (1 - alpha) + alpha * ol[..., :-1]).astype(
-                        np.uint8
-                    )
+            if cfg.display_visitation
+            else None
+        )
+        # The box half-size intentionally repeats the reference's unflipped
+        # (s0, s1) order here (module.py:342-344 draws with the same
+        # y/x-swapped extent it stamps flipped; visible only for non-square
+        # sensors, preserved for drop-in parity).
+        half = self.effective_sensor_size * self._canvas.scaling / 2
+        bw = self.glimpse_border_width
+        frames = []
+        for i, center in enumerate(self.to_render_coords(self._episode.pos)):
+            frame = upscale_to_rgb(bases[i], self._render_size)
+            if overlays is not None:
+                frame = PIL.Image.fromarray(
+                    blend_overlay(np.asarray(frame, dtype=np.float64), overlays[i])
                 )
-            draw = ImageDraw.Draw(frame, "RGBA")
-            rect = np.concatenate([tl, br])
-            draw.rectangle(tuple(rect + bw), outline=(0, 0, 0, 80), width=bw)
-            draw.rectangle(tuple(rect), outline=COLOR_AGENT, width=bw)
+            draw = PIL.ImageDraw.Draw(frame, "RGBA")
+            outlined_box(
+                draw,
+                np.concatenate([center - half, center + half]),
+                COLOR_AGENT,
+                bw,
+                shadow=True,
+            )
             frames.append(frame)
         return frames if return_pil_imgs else np.asarray(frames)
 
@@ -391,7 +470,7 @@ class ImagePerceptionModule:
         return self.scale_to_render_coords(pos_norm) + np.array(self._render_size) / 2
 
     def scale_to_render_coords(self, size_norm: np.ndarray) -> np.ndarray:
-        return self.denormalize_coords(size_norm) * self._render_scaling
+        return self.denormalize_coords(size_norm) * self._canvas.scaling
 
     # -- properties -----------------------------------------------------------
 
@@ -399,7 +478,7 @@ class ImagePerceptionModule:
     def sensor_pos_lim_pixels(self):
         """pos +-1 keeps the glimpse fully inside the image
         (image_perception_module.py:419-423)."""
-        return (np.flip(np.array(self._images.shape[1:3])) - 1) / 2 - (
+        return (np.flip(np.array(self._episode.images.shape[1:3])) - 1) / 2 - (
             self.effective_sensor_size - 1
         ) / 2
 
@@ -417,11 +496,11 @@ class ImagePerceptionModule:
 
     @property
     def current_sensor_pos(self):
-        return self.denormalize_coords(self._pos_norm)
+        return self.denormalize_coords(self._episode.pos)
 
     @property
     def observation_space_dict(self) -> dict[str, gym.spaces.Space]:
-        return self._observation_space_dict
+        return {name: space for name, space, _ in self._channel_table}
 
     @property
     def single_inner_action_space(self) -> gym.spaces.Box:
@@ -433,11 +512,11 @@ class ImagePerceptionModule:
 
     @property
     def current_images(self) -> np.ndarray:
-        return self._images
+        return self._episode.images
 
     @property
     def current_labels(self) -> np.ndarray:
-        return self._labels
+        return self._episode.labels
 
     @property
     def glimpse_border_width(self) -> int:
@@ -445,8 +524,14 @@ class ImagePerceptionModule:
 
     @property
     def render_scaling(self):
-        return self._render_scaling
+        return None if self._canvas is None else self._canvas.scaling
 
     @property
     def render_size(self):
-        return self._render_size
+        return None if self._canvas is None else self._canvas.size
+
+    # internal alias: properties above are the public surface; a couple of
+    # private spots (and tests) want the tuple directly
+    @property
+    def _render_size(self):
+        return self._canvas.size

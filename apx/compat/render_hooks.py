@@ -139,16 +139,17 @@ def _update_visitation(tracker, params, pos_norm, quality):
     reference's += on clipped coords)."""
     if tracker.visitation is None:
         return
+    from ..render.render import stamp_rect
+
     render_size, scaling, eff, lim = _image_geom(params)
     c = _to_render_coords(np.asarray(pos_norm), render_size, scaling, lim)
-    pos = np.round(c).astype(np.int32)  # (x, y)
-    size = np.round(np.flip(eff * scaling)).astype(np.int32)
-    x_range = pos[0] + np.arange(size[0]) - size[0] // 2
-    y_range = pos[1] + np.arange(size[1]) - size[1] // 2
-    ys = np.clip(y_range, 0, tracker.visitation.shape[0] - 1)
-    xs = np.clip(x_range, 0, tracker.visitation.shape[1] - 1)
-    tracker.visitation[ys[:, None], xs[None, :]] += 1
-    tracker.quality_map[ys[:, None], xs[None, :]] = np.clip(quality, 0, 1)
+    stamp_rect(
+        tracker.visitation[None],
+        tracker.quality_map[None],
+        c[None],
+        np.flip(eff * scaling),
+        quality,
+    )
 
 
 def _update_lidar_fog(tracker, occ, pos, distances, params):

@@ -34,6 +34,11 @@ __all__ = [
     "render_light_dark",
     "render_lidar",
     "render_env",
+    "stamp_rect",
+    "visitation_overlay",
+    "blend_overlay",
+    "upscale_to_rgb",
+    "outlined_box",
 ]
 
 def _glimpse_border_width(render_size) -> int:
@@ -86,6 +91,81 @@ def _to_render_coords(pos_norm, render_size, scaling, lim):
     return pos_norm * lim * scaling + np.array(render_size) / 2
 
 
+def stamp_rect(counts, qmap, centers_xy, stamp_wh, quality=None):
+    """Mark one axis-aligned sensor footprint per env on batched canvases.
+
+    ``counts``: (N, H', W') int visitation counter, incremented in place over
+    the stamped rectangle. ``qmap``: (N, H', W') float, overwritten with the
+    clipped per-env ``quality`` where given. ``centers_xy``: (N, 2) float
+    render coordinates; ``stamp_wh``: (2,) float (width, height).
+
+    Semantics are the reference's pinned overlay update
+    (image_perception_module.py:219-234): center and size round to ints, the
+    footprint extends size//2 left/up of the center, and the EDGE-CLIPPED
+    rectangle is marked — i.e. a footprint hanging off the canvas collapses
+    onto the border row/column and each covered cell counts exactly once per
+    stamp. We realize that as a plain clipped-slice update per env (the
+    reference's clipped fancy-index += buffers duplicates, which is the same
+    set-of-cells-once operation)."""
+    centers = np.round(np.asarray(centers_xy)).astype(np.int64).reshape(len(counts), 2)
+    w, h = (int(v) for v in np.round(np.asarray(stamp_wh, dtype=np.float64)))
+    height, width = counts.shape[-2:]
+    if quality is not None:
+        quality = np.clip(np.asarray(quality, dtype=np.float64), 0, 1).reshape(-1)
+    for i, (cx, cy) in enumerate(centers):
+        x0 = int(np.clip(cx - w // 2, 0, width - 1))
+        x1 = int(np.clip(cx - w // 2 + w - 1, 0, width - 1))
+        y0 = int(np.clip(cy - h // 2, 0, height - 1))
+        y1 = int(np.clip(cy - h // 2 + h - 1, 0, height - 1))
+        counts[i, y0 : y1 + 1, x0 : x1 + 1] += 1
+        if quality is not None and qmap is not None:
+            qmap[i, y0 : y1 + 1, x0 : x1 + 1] = quality[i if quality.size > 1 else 0]
+
+
+def visitation_overlay(counts, qmap, visited_opacity, unvisited_opacity):
+    """(..., H', W') canvases -> (..., H', W', 4) uint8 RGBA overlay: visited
+    cells get the red->green quality lerp at ``visited_opacity``, unvisited
+    cells are black at ``unvisited_opacity`` (module.py:348-367 quantization:
+    int-truncated opacities, rounded color)."""
+    from .style import quality_colors
+
+    visited = np.asarray(counts) > 0
+    rgb = np.where(visited[..., None], quality_colors(qmap), 0)
+    alpha = np.where(
+        visited, int(255 * visited_opacity), int(255 * unvisited_opacity)
+    )
+    return np.concatenate([rgb, alpha[..., None]], axis=-1).astype(np.uint8)
+
+
+def blend_overlay(frame_rgb, overlay_rgba):
+    """Manual alpha blend of an RGBA overlay onto an RGB uint8 frame with the
+    reference's truncating uint8 cast (module.py:375-385; PIL's
+    alpha_composite needs RGBA bases, which break rectangle drawing)."""
+    alpha = overlay_rgba[..., -1:] / 255
+    mixed = np.asarray(frame_rgb) * (1 - alpha) + alpha * overlay_rgba[..., :-1]
+    return mixed.astype(np.uint8)
+
+
+def upscale_to_rgb(img01, render_size):
+    """[0,1] float image (H, W) or (H, W, 3) -> nearest-upscaled RGB PIL
+    frame of ``render_size`` (the base layer of every image-env frame)."""
+    import PIL.Image
+
+    return (
+        _to_pil((np.asarray(img01) * 255).astype(np.uint8))
+        .resize(tuple(render_size), resample=PIL.Image.NEAREST)
+        .convert("RGB")
+    )
+
+
+def outlined_box(draw, coords_tlbr, outline, width, shadow=False):
+    """Outlined rectangle, optionally with the (0, 0, 0, 80) drop shadow the
+    reference offsets by one border width (module.py:387-398)."""
+    if shadow:
+        draw.rectangle(tuple(coords_tlbr + width), outline=(0, 0, 0, 80), width=width)
+    draw.rectangle(tuple(coords_tlbr), outline=outline, width=width)
+
+
 def render_image_perception(
     image: np.ndarray,
     pos_norm: np.ndarray,
@@ -117,27 +197,13 @@ def render_image_perception(
 
     if tracker is not None and tracker.visitation is not None:
         # Overlay composited exactly like the reference (module.py:348-385):
-        # the RGBA overlay is quantized to uint8 FIRST (alpha uses a
-        # truncating int() cast), then manually alpha-blended with a
-        # truncating cast.
-        visited = tracker.visitation > 0
-        q = tracker.quality_map
-        color = np.stack(
-            [np.array(quality_color(v), dtype=np.float64) for v in q.reshape(-1)]
-        ).reshape(*q.shape, 3)
-        ol = np.concatenate(
-            [
-                visited[..., None] * color,
-                np.where(
-                    visited, int(255 * visited_opacity),
-                    int(255 * unvisited_opacity),
-                )[..., None],
-            ],
-            axis=-1,
-        ).round().astype(np.uint8)
-        alpha = ol[..., -1:] / 255
-        arr = np.asarray(base, dtype=np.float64)
-        base = _to_pil((arr * (1 - alpha) + alpha * ol[..., :-1]).astype(np.uint8))
+        # the RGBA overlay is quantized to uint8 FIRST, then manually
+        # alpha-blended with a truncating cast.
+        ol = visitation_overlay(
+            tracker.visitation, tracker.quality_map,
+            visited_opacity, unvisited_opacity,
+        )
+        base = _to_pil(blend_overlay(np.asarray(base, dtype=np.float64), ol))
 
     draw = PIL.ImageDraw.Draw(base, "RGBA")
     half = eff * scaling / 2
@@ -145,14 +211,7 @@ def render_image_perception(
 
     def box(center_norm, outline, shadow=False):
         c = _to_render_coords(np.asarray(center_norm), render_size, scaling, lim)
-        coords = np.concatenate([c - half, c + half])
-        if shadow:
-            draw.rectangle(
-                tuple(coords + bw),
-                outline=(0, 0, 0, 80),
-                width=bw,
-            )
-        draw.rectangle(tuple(coords), outline=outline, width=bw)
+        outlined_box(draw, np.concatenate([c - half, c + half]), outline, bw, shadow)
 
     if target_norm is not None:
         box(target_norm, COLOR_PRED + (100,))

@@ -19,3 +19,11 @@ def quality_color(quality) -> tuple[int, int, int]:
     return tuple(
         int(q * g + (1 - q) * b) for g, b in zip(COLOR_GOOD, COLOR_BAD)
     )
+
+
+def quality_colors(quality: np.ndarray) -> np.ndarray:
+    """Array form of :func:`quality_color`: (...,) qualities -> (..., 3)
+    integer RGB, float64 lerp with a truncating cast (identical quantization
+    to the scalar form and to the reference's array math, style.py:13-19)."""
+    q = np.clip(np.asarray(quality, dtype=np.float64), 0, 1)[..., None]
+    return (q * np.array(COLOR_GOOD) + (1 - q) * np.array(COLOR_BAD)).astype(np.int_)
