@@ -266,24 +266,22 @@ class ImagePerceptionEngine:
         return jax.lax.map(chunk_glimpses, cands).reshape(p + pad, -1)[:p]
 
     @staticmethod
-    def _candidate_flat_cartesian(
+    def _cartesian_factors(
         state: ImagePerceptionState, params: ImagePerceptionParams
-    ) -> jnp.ndarray:
-        """(P, s0*s1*C) candidate glimpses via the grid's cartesian
-        structure: glimpse rows depend only on the candidate's y, columns
-        only on its x (apx.ops.glimpse coordinate conventions), so the row
-        GEMM runs once per unique y and is reused across every x-column.
-        Work: c1*s0*H*W*C + P*s0*s1*W*C MACs vs P*s0*(H+s1)*W*C for
-        per-candidate extraction (~6x less on TinyImageNet geometry), with
-        a (c1, s0, W, C) intermediate — small enough to skip chunking.
-        Coordinate/weight math mirrors glimpse_coords/extract_glimpse
-        op-for-op (module.py:294-331 conventions)."""
+    ):
+        """Shared factorization behind the cartesian candidate sweeps:
+        glimpse rows depend only on the candidate's y, columns only on its
+        x (apx.ops.glimpse coordinate conventions), so the row GEMM runs
+        once per unique y and is reused across every x-column. Returns
+        (tmp (c1, s0, W, C) row-contracted intermediate, w_cols
+        (c0, s1, W) column weights, prec). Coordinate/weight math mirrors
+        glimpse_coords/extract_glimpse op-for-op (module.py:294-331
+        conventions)."""
         from ..ops.glimpse import PRECISIONS, interp_weights, sensor_pos_lim_pixels
 
         h, w, ch = state.image.shape
         s0, s1 = params.sensor_size
         xs, ys = ImagePerceptionEngine.candidate_axes(params)
-        c0, c1 = xs.shape[0], ys.shape[0]
         lim = sensor_pos_lim_pixels((h, w), params.sensor_size, params.sensor_scale)
         x_pix = xs * lim[0] + (w - 1) / 2.0  # (c0,)
         y_pix = ys * lim[1] + (h - 1) / 2.0  # (c1,)
@@ -304,14 +302,31 @@ class ImagePerceptionEngine:
         tmp = jax.vmap(
             lambda wr: jnp.einsum("sh,hwc->swc", wr, img_f, precision=prec)
         )(w_rows)  # (c1, s0, W, C)
-        out = jax.vmap(  # over x-columns (i)
-            lambda wc: jax.vmap(  # over y-rows (j), reusing tmp
-                lambda t: jnp.einsum("swc,tw->stc", t, wc, precision=prec)
-            )(tmp)
-        )(w_cols)  # (c0, c1, s0, s1, C)
-        out = jnp.clip(out, 0.0, 1.0)
+        return tmp, w_cols, prec
+
+    @staticmethod
+    def _column_block(tmp, wc, prec) -> jnp.ndarray:
+        """One x-column of candidate glimpses from the cartesian factors:
+        (c1, s0*s1*C) flat block for column weights wc (s1, W)."""
+        g = jax.vmap(
+            lambda t: jnp.einsum("swc,tw->stc", t, wc, precision=prec)
+        )(tmp)  # (c1, s0, s1, C)
+        return jnp.clip(g, 0.0, 1.0).reshape(g.shape[0], -1)
+
+    @staticmethod
+    def _candidate_flat_cartesian(
+        state: ImagePerceptionState, params: ImagePerceptionParams
+    ) -> jnp.ndarray:
+        """(P, s0*s1*C) candidate glimpses via _cartesian_factors.
+        Work: c1*s0*H*W*C + P*s0*s1*W*C MACs vs P*s0*(H+s1)*W*C for
+        per-candidate extraction (~6x less on TinyImageNet geometry), with
+        a (c1, s0, W, C) intermediate — small enough to skip chunking."""
+        tmp, w_cols, prec = ImagePerceptionEngine._cartesian_factors(state, params)
+        out = jax.vmap(
+            lambda wc: ImagePerceptionEngine._column_block(tmp, wc, prec)
+        )(w_cols)  # (c0, c1, d)
         # candidate_grid ordering: index k = i*c1 + j.
-        return out.reshape(c0 * c1, s0 * s1 * ch)
+        return out.reshape(-1, out.shape[-1])
 
     @staticmethod
     def unique_target_top_k(
@@ -324,15 +339,67 @@ class ImagePerceptionEngine:
         backend = params.unique_sampling_backend
         if backend in ("auto", "cartesian"):
             flat = ImagePerceptionEngine._candidate_flat_cartesian(state, params)
+            uniqueness = ImagePerceptionEngine._min_pairwise_mse(flat)
         elif backend == "chunked":
             flat = ImagePerceptionEngine._candidate_flat_chunked(state, params)
+            uniqueness = ImagePerceptionEngine._min_pairwise_mse(flat)
+        elif backend == "streamed":
+            uniqueness = ImagePerceptionEngine._unique_scores_streamed(state, params)
         else:
             raise ValueError(
                 f"unknown unique_sampling_backend {backend!r}; "
-                "expected 'auto', 'cartesian' or 'chunked'"
+                "expected 'auto', 'cartesian', 'chunked' or 'streamed'"
             )
-        uniqueness = ImagePerceptionEngine._min_pairwise_mse(flat)
         return jnp.argsort(-uniqueness)[: params.unique_sampling_top_k]
+
+    @staticmethod
+    def _unique_scores_streamed(
+        state: ImagePerceptionState, params: ImagePerceptionParams
+    ) -> jnp.ndarray:
+        """(P,) uniqueness WITHOUT materializing the (P, d) candidate
+        buffer: x-column glimpse blocks are recomputed on the fly from the
+        cartesian factors, so peak memory is the (c1, s0, W, C) row
+        intermediate + two (c1, d) blocks (~3x smaller than the flat
+        buffer on TinyImageNet geometry — the buffer was the 875 KB/env
+        floor that kept TinyImageNetLoc from constructing at N=16384,
+        PERF.md batch-scaling). Cost: each block's column GEMM is
+        recomputed c0 times (~3x the sweep MACs — explicit reset only;
+        autoresets sample targets uniformly and never run the sweep).
+        min/mask/scale math matches _min_pairwise_mse; scores agree to
+        matmul-tiling rounding (measured <=5e-7 absolute on CircleSquare
+        geometry, both backends within 5e-7 of a float64 oracle —
+        test_streamed_backend_matches_cartesian)."""
+        tmp, w_cols, prec = ImagePerceptionEngine._cartesian_factors(state, params)
+        c0 = w_cols.shape[0]
+        c1 = tmp.shape[0]
+
+        def block(wc):
+            return ImagePerceptionEngine._column_block(tmp, wc, prec)
+
+        d = block(w_cols[0]).shape[-1]
+        sq = jax.lax.map(lambda wc: jnp.sum(block(wc) ** 2, axis=-1), w_cols)
+        eye = jnp.eye(c1, dtype=bool)
+
+        def outer(args):
+            i, wc = args
+            fb = block(wc)  # (c1, d)
+
+            def inner(run_min, inner_args):
+                j, wc2 = inner_args
+                g = fb @ block(wc2).T  # (c1, c1)
+                mse = (sq[i][:, None] + sq[j][None, :] - 2.0 * g) / d
+                mse = jnp.where((i == j) & eye, jnp.inf, mse)
+                return jnp.minimum(run_min, jnp.min(mse, axis=-1)), None
+
+            m, _ = jax.lax.scan(
+                inner,
+                jnp.full((c1,), jnp.inf, sq.dtype),
+                (jnp.arange(c0), w_cols),
+            )
+            return m
+
+        u = jax.lax.map(outer, (jnp.arange(c0), w_cols))  # (c0, c1)
+        return u.reshape(-1)  # candidate_grid ordering k = i*c1 + j
 
     @staticmethod
     def _min_pairwise_mse(flat: jnp.ndarray) -> jnp.ndarray:

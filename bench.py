@@ -289,7 +289,13 @@ def make_tin_loc(num_envs: int, bank_points: int | None = None):
         dataset=load_hf_image_bank("zh-plus/tiny-imagenet", num_points=bank_points),
         sensor_size=(10, 10),
     )
-    params = env.default_params()
+    # Above N=8192 the (P, d) candidate-glimpse buffer of the explicit-reset
+    # uniqueness sweep (875 KB/env) exceeds HBM; the streamed backend
+    # recomputes column blocks instead of materializing it (scores equal to
+    # ~5e-7, ~3x the sweep MACs — explicit reset only).
+    params = env.default_params(
+        unique_sampling_backend="streamed" if num_envs > 8192 else "auto"
+    )
     venv = vmap_vector_env(env, num_envs, AutoResetMode.LOCKSTEP)
     return venv, params, 2200.0
 

@@ -94,6 +94,48 @@ def test_candidate_sweep_backends_agree():
         np.testing.assert_array_equal(np.asarray(ka), np.asarray(kb))
 
 
+def test_streamed_backend_matches_cartesian():
+    """The streamed sweep (no (P, d) buffer — the N=16384 TinyImageNetLoc
+    enabler) must reproduce the cartesian backend's uniqueness scores up to
+    matmul-tiling rounding, the full ranking on tie-free images, and drive
+    a jitted vectorized reset."""
+    env, params, venv = make(n=3)
+    key = jax.random.PRNGKey(21)
+    _, state, _ = venv.reset(key, params)
+    for i in range(3):
+        perc = jax.tree_util.tree_map(lambda x: x[i], state.inner.perception)
+        dense = ImagePerceptionEngine._min_pairwise_mse(
+            ImagePerceptionEngine._candidate_flat_cartesian(perc, params)
+        )
+        streamed = ImagePerceptionEngine._unique_scores_streamed(perc, params)
+        assert dense.shape == streamed.shape
+        # CircleSquare backgrounds are flat, so near-duplicate candidates
+        # sit at MSE ~1e-5 where f32 cancellation noise (~5e-7, equal
+        # distance from the f64 oracle for BOTH backends) is relative-large.
+        np.testing.assert_allclose(
+            np.asarray(streamed), np.asarray(dense), atol=2e-6
+        )
+        # Tie-free image: score gaps dwarf the rounding, so the ranking and
+        # therefore the top-k selection must match exactly.
+        rich = perc.replace(
+            image=jax.random.uniform(jax.random.PRNGKey(100 + i), perc.image.shape)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ImagePerceptionEngine.unique_target_top_k(rich, params)),
+            np.asarray(
+                ImagePerceptionEngine.unique_target_top_k(
+                    rich, params.replace(unique_sampling_backend="streamed")
+                )
+            ),
+        )
+    # End-to-end: jitted vectorized reset under the streamed backend.
+    sp = params.replace(unique_sampling_backend="streamed")
+    obs_s, state_s, _ = jax.jit(venv.reset)(key, sp)
+    t = np.asarray(state_s.inner.target)
+    assert t.shape == (3, 2) and (np.abs(t) <= 1).all()
+    assert np.isfinite(np.asarray(obs_s["target_glimpse"])).all()
+
+
 def test_unique_sampler_prefers_distinct_glimpses():
     """The sampler must replicate the reference scoring: pairwise MSE over
     candidate glimpses, pick among the top-k most unique
