@@ -58,6 +58,8 @@ def init_backend_guarded(timeout_s: float = _INIT_TIMEOUT_S, probe=None) -> dict
     if probe is None:
 
         def probe():
+            if os.environ.get("APX_BENCH_FAKE_INIT_HANG"):
+                time.sleep(3600)  # outage simulation hook (tests/CI drills)
             d = jax.devices()
             jnp.zeros((), jnp.float32).block_until_ready()
             return d

@@ -303,6 +303,41 @@ def test_bench_backend_watchdog():
     assert bench.init_backend_guarded(timeout_s=30.0, probe=lambda: [1]) is None
 
 
+def test_bench_outage_drill_end_to_end(tmp_path):
+    """Full-process drill: `python bench.py` under a simulated backend hang
+    must print one parseable failure JSON and exit 0 within the deadline
+    (what the driver's BENCH capture sees during a relay outage)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        APX_BENCH_FAKE_INIT_HANG="1",
+        APX_BENCH_INIT_TIMEOUT="2",
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+    )
+    emit = tmp_path / "outage.json"
+    t0 = time.perf_counter()
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--emit", str(emit)],
+        cwd=root,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=55,
+    )
+    assert time.perf_counter() - t0 < 55
+    assert out.returncode == 0, out.stderr[-500:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["phase"] == "backend_init" and rec["fingerprint"] is None
+    assert json.loads(emit.read_text())["metric"] == "backend_unavailable"
+
+
 def test_advanced_usage_doc_blocks_execute():
     """Every python block in docs/advanced_usage.md actually runs (scaled
     down): the custom-env authoring docs stay honest."""
