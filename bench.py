@@ -316,6 +316,71 @@ def make_cifar10(num_envs: int, bank_points: int | None = None):
     return venv, params, 2200.0
 
 
+# Registry ids for --compat: the SAME envs measured through the gymnasium
+# drop-in adapter (numpy in/out, host loss composition) — the path a
+# reference user lands on first, and the apples-to-apples comparison with
+# the reference's own SyncVectorEnv numbers.
+COMPAT_IDS = {
+    "circle_square": "CircleSquare-v0",
+    "light_dark": "LightDark-v0",
+    "mnist": "MNIST-v0",
+    "cifar10": "CIFAR10-v0",
+    "tin_loc": "TinyImageNetLoc-v0",
+    "lidar_rooms": "LIDARLocRooms-v0",
+    "lidar_rooms_static": "LIDARLocRoomsStatic-v0",
+    "lidar_maze": "LIDARLocMaze-v0",
+}
+
+# Same denominators the device-loop records use (see the make_* factories:
+# measured reference throughput where the reference runs in-container, the
+# BASELINE.json 1M north-star for the LIDAR family).
+COMPAT_BASELINES = {
+    "circle_square": 2200.0,
+    "light_dark": 4642.0,
+    "mnist": 2200.0,
+    "cifar10": 2200.0,
+    "tin_loc": 2200.0,
+    "lidar_rooms": 1_000_000.0,
+    "lidar_rooms_static": 1_000_000.0,
+    "lidar_maze": 1_000_000.0,
+}
+
+
+def bench_compat(env_id: str, num_envs: int, num_steps: int) -> float:
+    """env-steps/s through the gymnasium drop-in (apx.compat.make_vec,
+    rng='native'): includes the host->device action upload, device step,
+    device->host observation fetch and host loss composition every step —
+    the end-user cost of the drop-in API, unlike bench_env's resident
+    device loop. Actions rotate through 8 pre-drawn batches so the axon
+    relay's identical-call memoization cannot shortcut repeated steps."""
+    import numpy as np
+
+    import apx.compat as apc
+
+    env = apc.make_vec(env_id, num_envs=num_envs, rng="native", log_wrapper=False)
+    rng = np.random.default_rng(0)
+    acts = [
+        {
+            "action": rng.uniform(
+                -1, 1, (num_envs, *env.single_action_space["action"].shape)
+            ).astype(np.float32),
+            "prediction": rng.normal(
+                size=(num_envs, *env.single_action_space["prediction"].shape)
+            ).astype(np.float32),
+        }
+        for _ in range(8)
+    ]
+    env.reset(seed=0)
+    for i in range(3):  # warmup/compile both step variants
+        env.step(acts[i % 8])
+    t0 = time.perf_counter()
+    for i in range(num_steps):
+        env.step(acts[i % 8])
+    dt = time.perf_counter() - t0
+    env.close()
+    return num_envs * num_steps / dt
+
+
 BENCHES = {
     "circle_square": make_circle_square,
     "light_dark": make_light_dark,
@@ -429,6 +494,11 @@ def main():
         "(summarize with python -m apx.tools.parse_trace DIR)",
     )
     ap.add_argument(
+        "--compat", action="store_true",
+        help="measure through the gymnasium drop-in adapter (numpy in/out "
+        "+ host loss composition) instead of the resident device loop",
+    )
+    ap.add_argument(
         "--multihost", action="store_true",
         help="shard --num-envs PER DEVICE over the global mesh "
         "(call jax.distributed via --distributed on multi-host slices)",
@@ -538,6 +608,39 @@ def main():
 
     names = sorted(BENCHES) if args.all else [args.env]
     records = []
+    if args.compat:
+        for name in names:
+            try:
+                sps = bench_compat(COMPAT_IDS[name], args.num_envs, args.steps)
+            except Exception as e:  # noqa: BLE001 — sweep over optional ids
+                if not args.all:
+                    raise
+                print(f"# compat {name} skipped: {e}", flush=True)
+                continue
+            baseline = COMPAT_BASELINES[name]
+            rec = {
+                "metric": f"{name}_compat_env_steps_per_s",
+                "value": round(sps, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(sps / baseline, 3),
+                "num_envs": args.num_envs,
+                "device_kind": fp["device_kind"],
+            }
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+        if args.emit:
+            doc = {
+                "fingerprint": fp,
+                "num_envs": args.num_envs,
+                "steps": args.steps,
+                "compat": True,
+                "results": records,
+            }
+            with open(args.emit, "w") as f:
+                json.dump(doc, f, indent=1)
+                f.write("\n")
+        return
+
     for name in names:
         bank_points = args.bank_points
         if args.real_banks and name in BANKED:

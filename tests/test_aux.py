@@ -272,6 +272,8 @@ def test_bench_harness_runs():
     venv, params, baseline = bench.make_lidar_rooms(4)
     sps = bench.bench_env(venv, params, 4, jax.random.key(0))
     assert sps > 0
+    # The gymnasium drop-in measurement path (--compat).
+    assert bench.bench_compat("CircleSquare-v0", 4, 3) > 0
 
 
 def test_bench_backend_watchdog():
