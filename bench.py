@@ -529,6 +529,13 @@ def main():
         "MXU pass-count ladder, PERF.md round 3)",
     )
     ap.add_argument(
+        "--key-impl", default=None, choices=["threefry2x32", "rbg", "unsafe_rbg"],
+        help="PRNG implementation for the root key (propagates through every "
+        "split into policy and env randomness). 'rbg' uses the TPU hardware "
+        "RNG instead of threefry hashing — same-process A/B candidate for "
+        "RNG-heavy steps; trajectories differ, throughput comparison only",
+    )
+    ap.add_argument(
         "--ab-banks", action="store_true",
         help="same-process A/B: each banked env at the capped-synthetic size "
         "AND its real split size (the only comparison that survives the "
@@ -579,7 +586,9 @@ def main():
             )
         return
 
-    key = jax.random.key(0)
+    key = (
+        jax.random.key(0, impl=args.key_impl) if args.key_impl else jax.random.key(0)
+    )
     fp = device_fingerprint()
 
     def _apply_overrides(params):
@@ -670,6 +679,8 @@ def main():
             rec["bank_points"] = bank_points or "default"
         if args.glimpse_precision and hasattr(params, "glimpse_precision"):
             rec["glimpse_precision"] = args.glimpse_precision
+        if args.key_impl:
+            rec["key_impl"] = args.key_impl
         records.append(rec)
         print(json.dumps(rec), flush=True)
 
