@@ -536,6 +536,13 @@ def main():
         "RNG-heavy steps; trajectories differ, throughput comparison only",
     )
     ap.add_argument(
+        "--deep", action="store_true",
+        help="one-process round capture: standard sweep, batch-scaling rows "
+        "(N=16384), threefry-vs-rbg A/B, compat-adapter rows — all on the "
+        "same chip so every comparison is same-session valid; combine with "
+        "--emit",
+    )
+    ap.add_argument(
         "--ab-banks", action="store_true",
         help="same-process A/B: each banked env at the capped-synthetic size "
         "AND its real split size (the only comparison that survives the "
@@ -613,6 +620,77 @@ def main():
                 if args.glimpse_precision:
                     rec["glimpse_precision"] = args.glimpse_precision
                 print(json.dumps(rec), flush=True)
+        return
+
+    if args.deep:
+        records = []
+
+        def run_one(name, num_envs, steps, bank_points=None, key_impl=None, **extra):
+            k = (
+                jax.random.key(0, impl=key_impl) if key_impl else jax.random.key(0)
+            )
+            try:
+                venv, params, baseline = _make(name, num_envs, bank_points)
+                sps = bench_env(venv, params, steps, k)
+            except Exception as e:  # noqa: BLE001 — keep the capture going
+                rec = {"metric": f"{name}_env_steps_per_s", "error": str(e)[:300],
+                       "num_envs": num_envs, **extra}
+                records.append(rec)
+                print(json.dumps(rec), flush=True)
+                return
+            rec = {
+                "metric": f"{name}_env_steps_per_s",
+                "value": round(sps, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(sps / baseline, 3),
+                "num_envs": num_envs,
+                "device_kind": fp["device_kind"],
+                **({"key_impl": key_impl} if key_impl else {}),
+                **extra,
+            }
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+
+        # 1. standard sweep (the cross-round comparable configuration)
+        for name in sorted(BENCHES):
+            run_one(name, args.num_envs, args.steps, segment="sweep")
+        # 2. batch scaling: the envs with documented N-scaling behavior
+        for name in ("lidar_rooms", "mnist", "tin_loc"):
+            run_one(name, 16384, args.steps, segment="scaling")
+        # 3. PRNG A/B: hardware RNG vs threefry on RNG-sensitive steps
+        for name in ("circle_square", "light_dark", "lidar_rooms"):
+            run_one(name, args.num_envs, args.steps, key_impl="rbg", segment="prng_ab")
+        # 4. drop-in adapter rows
+        for name in ("circle_square", "lidar_rooms"):
+            try:
+                sps = bench_compat(COMPAT_IDS[name], args.num_envs, min(args.steps, 64))
+                rec = {
+                    "metric": f"{name}_compat_env_steps_per_s",
+                    "value": round(sps, 1),
+                    "unit": "env-steps/s",
+                    "vs_baseline": round(sps / COMPAT_BASELINES[name], 3),
+                    "num_envs": args.num_envs,
+                    "device_kind": fp["device_kind"],
+                    "segment": "compat",
+                }
+            except Exception as e:  # noqa: BLE001
+                rec = {"metric": f"{name}_compat_env_steps_per_s",
+                       "error": str(e)[:300], "segment": "compat"}
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+
+        if args.emit:
+            doc = {
+                "fingerprint": fp,
+                "calibration_lidar_rooms_4096x200": round(calibration_number(), 1),
+                "num_envs": args.num_envs,
+                "steps": args.steps,
+                "deep": True,
+                "results": records,
+            }
+            with open(args.emit, "w") as f:
+                json.dump(doc, f, indent=1)
+                f.write("\n")
         return
 
     names = sorted(BENCHES) if args.all else [args.env]
