@@ -153,6 +153,34 @@ def test_inverted_labels_match_reference():
     theirs.close()
 
 
+def test_nonsquare_scaled_sensor_matches_reference():
+    """Non-square sensor + sensor_scale != 1: exercises the flipped stamp
+    vs unflipped box-extent quirk the reference carries (module.py:342-344
+    vs :219-234) and the scaled sensing grid."""
+    ours, theirs = _make_pair(
+        num_envs=2, seed=77, sensor_size=(3, 5), sensor_scale=2.0
+    )
+    obs_a, _ = ours.reset()
+    obs_b, _ = theirs.reset()
+    _assert_obs_equal(obs_a, obs_b)
+    assert obs_a["glimpse"].shape == (2, 3, 5, 1)
+    rng = np.random.default_rng(1)
+    for _ in range(6):
+        action = rng.uniform(-1, 1, size=(2, 2))
+        quality = rng.uniform(0, 1, size=2)
+        ra = ours.step(action, quality)
+        rb = theirs.step(action, quality)
+        _assert_obs_equal(ra[0], rb[0])
+        np.testing.assert_array_equal(ra[1], rb[1])
+    va, qa = ours._canvas.counts, ours._canvas.quality
+    vb, qb = _ref_canvases(theirs)
+    np.testing.assert_array_equal(va, vb)
+    np.testing.assert_array_equal(qa, qb)
+    np.testing.assert_array_equal(np.asarray(ours.render()), theirs.render())
+    ours.close()
+    theirs.close()
+
+
 def test_guards_match_reference():
     ours, theirs = _make_pair(num_envs=2, seed=11)
     for mod in (ours, theirs):
