@@ -182,6 +182,11 @@ class ImagePerceptionModule:
         assert max_step_length.shape in {(2,), (1,), ()}
         self._max_step_length = np.ones(2) * max_step_length
         self._channel_table = self._build_channels()
+        # one stable dict, like the reference's cached attribute
+        # (image_perception_module.py:63, 448-449) — callers may patch it
+        self._observation_space_dict = {
+            name: space for name, space, _ in self._channel_table
+        }
         self._rng: np.random.Generator | None = None
         self._loader = None
         self._episode: _Episode | None = None
@@ -238,7 +243,11 @@ class ImagePerceptionModule:
     def observe(self) -> dict[str, np.ndarray]:
         return {name: read(self._episode) for name, _, read in self._channel_table}
 
-    _get_obs = observe  # reference-internal name, kept for drop-in users
+    def _get_obs(self) -> dict[str, np.ndarray]:
+        """Reference-internal name (image_perception_module.py:236). reset()
+        and step() dispatch through this shim so a drop-in subclass may
+        override EITHER name and be honored."""
+        return self.observe()
 
     # -- lifecycle -------------------------------------------------------------
 
@@ -293,7 +302,7 @@ class ImagePerceptionModule:
         if self._rng is None:
             self.seed()
         self._episode = self._spawn_episode()
-        obs = self.observe()
+        obs = self._get_obs()
         if self._canvas is None:
             self._canvas = _Canvas(
                 self._num_envs, self._image_size, obs["glimpse"].shape[2]
@@ -338,7 +347,7 @@ class ImagePerceptionModule:
         else:
             _require_finite("action", action)
             reward = self._advance(action)
-            obs = self.observe()
+            obs = self._get_obs()
             info = {"index": self._episode.batch_idx}
             at_limit = self._episode.t >= self._config.step_limit
         terminated = np.full(self._num_envs, at_limit)
@@ -500,7 +509,7 @@ class ImagePerceptionModule:
 
     @property
     def observation_space_dict(self) -> dict[str, gym.spaces.Space]:
-        return {name: space for name, space, _ in self._channel_table}
+        return self._observation_space_dict
 
     @property
     def single_inner_action_space(self) -> gym.spaces.Box:

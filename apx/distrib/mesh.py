@@ -48,8 +48,14 @@ def init_distributed(**kwargs) -> None:
     global device list and GSPMD addresses the whole slice."""
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # Idempotence only ("distributed.initialize should only be called
+        # once"). Every other RuntimeError — in particular "must be called
+        # before any JAX calls" (someone touched jax.devices() first) —
+        # must propagate, or each host silently proceeds as its own
+        # single-process run with local-only devices.
+        if "only be called once" not in str(e):
+            raise
 
 
 def make_env_mesh(num_devices: int | None = None, axis_name: str = "env") -> Mesh:

@@ -104,22 +104,23 @@ def stamp_rect(counts, qmap, centers_xy, stamp_wh, quality=None):
     footprint extends size//2 left/up of the center, and the EDGE-CLIPPED
     rectangle is marked — i.e. a footprint hanging off the canvas collapses
     onto the border row/column and each covered cell counts exactly once per
-    stamp. We realize that as a plain clipped-slice update per env (the
-    reference's clipped fancy-index += buffers duplicates, which is the same
-    set-of-cells-once operation)."""
+    stamp (numpy's fancy-index += buffers the duplicate clipped coordinates,
+    so they collapse to one increment), and a size that rounds to zero
+    stamps nothing. One batched fancy-index update covers all N envs."""
     centers = np.round(np.asarray(centers_xy)).astype(np.int64).reshape(len(counts), 2)
     w, h = (int(v) for v in np.round(np.asarray(stamp_wh, dtype=np.float64)))
+    if w <= 0 or h <= 0:
+        return
     height, width = counts.shape[-2:]
-    if quality is not None:
-        quality = np.clip(np.asarray(quality, dtype=np.float64), 0, 1).reshape(-1)
-    for i, (cx, cy) in enumerate(centers):
-        x0 = int(np.clip(cx - w // 2, 0, width - 1))
-        x1 = int(np.clip(cx - w // 2 + w - 1, 0, width - 1))
-        y0 = int(np.clip(cy - h // 2, 0, height - 1))
-        y1 = int(np.clip(cy - h // 2 + h - 1, 0, height - 1))
-        counts[i, y0 : y1 + 1, x0 : x1 + 1] += 1
-        if quality is not None and qmap is not None:
-            qmap[i, y0 : y1 + 1, x0 : x1 + 1] = quality[i if quality.size > 1 else 0]
+    xs = np.clip(centers[:, :1] - w // 2 + np.arange(w), 0, width - 1)  # (N, w)
+    ys = np.clip(centers[:, 1:] - h // 2 + np.arange(h), 0, height - 1)  # (N, h)
+    ii = np.arange(len(counts))[:, None, None]
+    counts[ii, ys[:, :, None], xs[:, None, :]] += 1
+    if quality is not None and qmap is not None:
+        q = np.clip(np.asarray(quality, dtype=np.float64), 0, 1).reshape(-1)
+        qmap[ii, ys[:, :, None], xs[:, None, :]] = (
+            q.reshape(-1, 1, 1) if q.size > 1 else q[0]
+        )
 
 
 def visitation_overlay(counts, qmap, visited_opacity, unvisited_opacity):

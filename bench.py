@@ -46,13 +46,18 @@ def _backend_failure_record(phase: str, error: str) -> dict:
     }
 
 
-def init_backend_guarded(timeout_s: float = _INIT_TIMEOUT_S, probe=None) -> dict | None:
+def init_backend_guarded(
+    timeout_s: float = _INIT_TIMEOUT_S, probe=None, pre=None
+) -> dict | None:
     """Touch the JAX backend with a deadline.
 
     Returns None on success; on timeout or init error returns a structured
     failure record (the caller prints it as the bench output). `probe` is
     injectable for tests; the default lists devices and runs one tiny op so
-    both the handshake and the execute path are covered.
+    both the handshake and the execute path are covered. `pre` (e.g.
+    jax.distributed initialization) runs INSIDE the default probe before the
+    first backend touch: multi-process init must happen before anything
+    queries jax.devices(), and it must share the watchdog deadline.
     """
 
     if probe is None:
@@ -60,6 +65,8 @@ def init_backend_guarded(timeout_s: float = _INIT_TIMEOUT_S, probe=None) -> dict
         def probe():
             if os.environ.get("APX_BENCH_FAKE_INIT_HANG"):
                 time.sleep(3600)  # outage simulation hook (tests/CI drills)
+            if pre is not None:
+                pre()
             d = jax.devices()
             jnp.zeros((), jnp.float32).block_until_ready()
             return d
@@ -550,7 +557,30 @@ def main():
     )
     args = ap.parse_args()
 
-    failure = init_backend_guarded()
+    if args.deep:
+        # --deep is the fixed one-process round capture; silently absorbing
+        # config flags would mislabel the PERF history, so refuse them.
+        for flag, bad in (
+            ("--env", args.env != ap.get_default("env")),
+            ("--all", args.all),
+            ("--compat", args.compat),
+            ("--ab-banks", args.ab_banks),
+            ("--key-impl", args.key_impl is not None),
+        ):
+            if bad:
+                ap.error(f"{flag} conflicts with --deep (fixed capture plan)")
+
+    pre = None
+    if args.distributed:
+        from apx.distrib import init_distributed
+
+        # Must run before the watchdog probe touches jax.devices():
+        # initializing the local backend first makes jax.distributed
+        # refuse, which apx.distrib treats as "already initialized" and
+        # every host would silently proceed single-process.
+        pre = init_distributed
+
+    failure = init_backend_guarded(pre=pre)
     if failure is not None:
         print(json.dumps(failure), flush=True)
         if args.emit:
@@ -563,11 +593,6 @@ def main():
         # so leave via os._exit.
         sys.stdout.flush()
         os._exit(0)
-
-    if args.distributed:
-        from apx.distrib import init_distributed
-
-        init_distributed()
 
     if args.multihost:
         ndev = len(jax.devices())
@@ -629,8 +654,17 @@ def main():
             k = (
                 jax.random.key(0, impl=key_impl) if key_impl else jax.random.key(0)
             )
+            if bank_points is None:
+                # honor the bank-size flags in every segment (a capture that
+                # silently measured the default sizes would be misread as an
+                # A/B result in the PERF history)
+                if args.real_banks and name in BANKED:
+                    bank_points = BANKED[name]
+                else:
+                    bank_points = args.bank_points
             try:
                 venv, params, baseline = _make(name, num_envs, bank_points)
+                params = _apply_overrides(params)
                 sps = bench_env(venv, params, steps, k)
             except Exception as e:  # noqa: BLE001 — keep the capture going
                 rec = {"metric": f"{name}_env_steps_per_s", "error": str(e)[:300],
@@ -646,6 +680,12 @@ def main():
                 "num_envs": num_envs,
                 "device_kind": fp["device_kind"],
                 **({"key_impl": key_impl} if key_impl else {}),
+                **({"bank_points": bank_points} if bank_points else {}),
+                **(
+                    {"glimpse_precision": args.glimpse_precision}
+                    if args.glimpse_precision and hasattr(params, "glimpse_precision")
+                    else {}
+                ),
                 **extra,
             }
             records.append(rec)

@@ -427,3 +427,27 @@ def test_parse_trace_tool(tmp_path):
     assert all("/host" not in r[0] for r in rows)
     rows_all = summarize(load_trace(str(tmp_path)), device_only=False)
     assert any(r[1] == "python" for r in rows_all)
+
+
+def test_bench_deep_rejects_conflicting_flags():
+    """--deep is the fixed one-process round capture; flags that would alter
+    or subset it must be refused loudly, not silently ignored (a capture
+    that quietly measured the defaults would be misread as an A/B in the
+    PERF history)."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    for extra in (["--env", "mnist"], ["--all"], ["--key-impl", "rbg"]):
+        out = subprocess.run(
+            [sys.executable, "bench.py", "--deep", *extra],
+            cwd=root,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert out.returncode == 2, (extra, out.stderr[-300:])
+        assert "conflicts with --deep" in out.stderr

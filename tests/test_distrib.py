@@ -385,3 +385,29 @@ def test_multihost_bench_tin_loc(mesh):
         venv, params, 4, jax.random.key(0), 2
     )
     assert ndev == 8 and sps > 0
+
+
+def test_init_distributed_raises_on_late_call(monkeypatch):
+    """init_distributed swallows ONLY the idempotent double-call; the
+    "backend already initialized" RuntimeError (jax.devices() was touched
+    first) must propagate, or every host of a multi-host run silently
+    degrades to its own single-process world."""
+    import jax
+
+    from apx.distrib import init_distributed
+
+    def once(**kw):
+        raise RuntimeError("distributed.initialize should only be called once.")
+
+    def late(**kw):
+        raise RuntimeError(
+            "jax.distributed.initialize() must be called before any JAX "
+            "calls that might initialise the XLA backend."
+        )
+
+    monkeypatch.setattr(jax.distributed, "initialize", once)
+    init_distributed()  # idempotent: no raise
+
+    monkeypatch.setattr(jax.distributed, "initialize", late)
+    with pytest.raises(RuntimeError, match="must be called before"):
+        init_distributed()

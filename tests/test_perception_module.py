@@ -230,3 +230,57 @@ def test_bilinear_batch_matches_scipy():
     for i in range(n):
         rgi = RegularGridInterpolator((grid_y, grid_x), images[i], method="linear")
         np.testing.assert_array_equal(ours[i], rgi(pts[i]), err_msg=f"env {i}")
+
+
+def test_subclass_may_override_either_obs_name():
+    """The reference's reset/step call the internal `_get_obs`; apx's call
+    the same shim, so a drop-in subclass overriding EITHER `_get_obs` (the
+    reference name) or `observe` (the apx name) is honored."""
+    from apx.compat.dataset_classes import CircleSquareDataset
+    from apx.compat.perception_module import (
+        ImagePerceptionConfig,
+        ImagePerceptionModule,
+    )
+
+    class ViaRefName(ImagePerceptionModule):
+        def _get_obs(self):
+            obs = super()._get_obs()
+            obs["extra"] = np.ones(3)
+            return obs
+
+    class ViaApxName(ImagePerceptionModule):
+        def observe(self):
+            obs = super().observe()
+            obs["extra"] = np.full(3, 2.0)
+            return obs
+
+    cfg = ImagePerceptionConfig(dataset=CircleSquareDataset(), prefetch=False)
+    for cls, val in ((ViaRefName, 1.0), (ViaApxName, 2.0)):
+        m = cls(3, cfg)
+        m.seed(0)
+        obs, _ = m.reset()
+        assert np.all(obs["extra"] == val)
+        act = np.zeros((3, 2), np.float32)
+        obs, *_ = m.step(act, np.zeros(3))
+        assert np.all(obs["extra"] == val)
+
+
+def test_observation_space_dict_is_stable_object():
+    """The reference caches one dict (image_perception_module.py:63,448-449)
+    so callers may patch it before building an agent; property access must
+    return that same object every time."""
+    import gymnasium as gym
+
+    from apx.compat.dataset_classes import CircleSquareDataset
+    from apx.compat.perception_module import (
+        ImagePerceptionConfig,
+        ImagePerceptionModule,
+    )
+
+    m = ImagePerceptionModule(
+        2, ImagePerceptionConfig(dataset=CircleSquareDataset(), prefetch=False)
+    )
+    d = m.observation_space_dict
+    assert m.observation_space_dict is d
+    d["patched"] = gym.spaces.Discrete(7)
+    assert "patched" in m.observation_space_dict

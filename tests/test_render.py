@@ -145,3 +145,49 @@ def test_render_golden_frames(env_id, steps, reset_exact, frac_tol):
     # the trajectory MEAN must stay well under the per-frame ceiling.
     if frac_tol:
         assert float(np.mean(fracs)) <= frac_tol / 4.0, (env_id, fracs)
+
+
+def test_stamp_rect_matches_scalar_oracle():
+    """The batched fancy-index stamp equals the per-env clipped-slice oracle
+    (the reference's overlay-update semantics: rounded center/size, edge
+    clipping, each covered cell counted once per stamp)."""
+    from apx.render.render import stamp_rect
+
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        n = int(rng.integers(1, 5))
+        hgt, wid = int(rng.integers(3, 12)), int(rng.integers(3, 12))
+        centers = rng.uniform(-6, wid + 6, (n, 2))
+        wh = rng.uniform(0.51, 9, 2)  # >= 0.51 so sizes round to >= 1
+        quality = rng.uniform(-0.2, 1.2, n)
+        counts = rng.integers(0, 3, (n, hgt, wid)).astype(np.int32)
+        qmap = rng.uniform(0, 1, (n, hgt, wid)).astype(np.float32)
+        c2, q2 = counts.copy(), qmap.copy()
+
+        stamp_rect(counts, qmap, centers, wh, quality)
+
+        cr = np.round(centers).astype(np.int64)
+        w, h = (int(v) for v in np.round(wh))
+        for i in range(n):
+            xs = np.clip(cr[i, 0] - w // 2 + np.arange(w), 0, wid - 1)
+            ys = np.clip(cr[i, 1] - h // 2 + np.arange(h), 0, hgt - 1)
+            c2[i, ys[:, None], xs] += 1
+            q2[i, ys[:, None], xs] = np.clip(quality[i], 0, 1)
+        np.testing.assert_array_equal(counts, c2)
+        np.testing.assert_array_equal(qmap, q2)
+
+
+def test_stamp_rect_zero_size_stamps_nothing():
+    """A stamp dimension that rounds to 0 marks no cells (the reference's
+    np.arange(0) coordinate range is empty) — even with the rounded center
+    at or beyond the canvas edge, where a clipped-slice formulation would
+    spuriously paint the border row/column."""
+    from apx.render.render import stamp_rect
+
+    counts = np.zeros((3, 8, 8), np.int32)
+    qmap = np.zeros((3, 8, 8), np.float32)
+    centers = np.array([[-2.0, -3.0], [0.0, 0.0], [4.0, 9.5]])
+    stamp_rect(counts, qmap, centers, np.array([0.4, 3.0]), np.ones(3))
+    assert counts.sum() == 0 and qmap.sum() == 0
+    stamp_rect(counts, qmap, centers, np.array([3.0, 0.2]), np.ones(3))
+    assert counts.sum() == 0 and qmap.sum() == 0
