@@ -46,16 +46,22 @@ def init_distributed(**kwargs) -> None:
     """Multi-host entry: jax.distributed.initialize (idempotent). Call on
     every host before make_env_mesh(); afterwards jax.devices() is the
     global device list and GSPMD addresses the whole slice."""
+    already = getattr(jax.distributed, "is_initialized", None)
+    if already is not None and already():
+        return  # idempotent: a second call is a no-op
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError as e:
-        # Idempotence only ("distributed.initialize should only be called
-        # once"). Every other RuntimeError — in particular "must be called
-        # before any JAX calls" (someone touched jax.devices() first) —
-        # must propagate, or each host silently proceeds as its own
-        # single-process run with local-only devices.
-        if "only be called once" not in str(e):
-            raise
+    except RuntimeError:
+        # A raced double-initialize (another thread won between the check
+        # and the call) is still idempotent; anything else — in particular
+        # "must be called before any JAX calls" (someone touched
+        # jax.devices() first) — must propagate, or each host silently
+        # proceeds as its own single-process run with local-only devices.
+        # State is queried rather than matching the error text, which is
+        # not API and varies across JAX releases.
+        if already is not None and already():
+            return
+        raise
 
 
 def make_env_mesh(num_devices: int | None = None, axis_name: str = "env") -> Mesh:

@@ -376,7 +376,10 @@ class ImagePerceptionEngine:
         def block(wc):
             return ImagePerceptionEngine._column_block(tmp, wc, prec)
 
-        d = block(w_cols[0]).shape[-1]
+        # d = s0*s1*C, known statically from the factor shapes — computing a
+        # real column block just to read its width would run a full einsum
+        # in the eager path.
+        d = tmp.shape[1] * w_cols.shape[1] * tmp.shape[-1]
         sq = jax.lax.map(lambda wc: jnp.sum(block(wc) ** 2, axis=-1), w_cols)
         eye = jnp.eye(c1, dtype=bool)
 

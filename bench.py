@@ -378,8 +378,18 @@ def bench_compat(env_id: str, num_envs: int, num_steps: int) -> float:
         for _ in range(8)
     ]
     env.reset(seed=0)
-    for i in range(3):  # warmup/compile both step variants
-        env.step(acts[i % 8])
+    # Warmup must cross an episode boundary: the boundary/autoreset step is
+    # a SEPARATE jit from the plain step (apx/compat/gym_env.py), and for
+    # next_step-mode envs the reset-merge runs on the step AFTER the done —
+    # so step until one done has been seen and then once more, or those
+    # compiles land inside the timed region and understate the steady state.
+    done_seen = False
+    for i in range(512):
+        *_, term, trunc, _ = env.step(acts[i % 8])
+        if done_seen:
+            break  # this step consumed the post-done reset-merge path
+        done_seen = bool(np.any(np.asarray(term) | np.asarray(trunc)))
+    env.reset(seed=0)  # time from a clean episode phase
     t0 = time.perf_counter()
     for i in range(num_steps):
         env.step(acts[i % 8])
@@ -559,16 +569,39 @@ def main():
 
     if args.deep:
         # --deep is the fixed one-process round capture; silently absorbing
-        # config flags would mislabel the PERF history, so refuse them.
+        # config flags (or letting an earlier mode branch hijack the run, as
+        # --multihost/--profile would) would mislabel the PERF history, so
+        # refuse them.
         for flag, bad in (
             ("--env", args.env != ap.get_default("env")),
             ("--all", args.all),
             ("--compat", args.compat),
             ("--ab-banks", args.ab_banks),
             ("--key-impl", args.key_impl is not None),
+            ("--multihost", args.multihost),
+            ("--distributed", args.distributed),
+            ("--profile", args.profile is not None),
         ):
             if bad:
                 ap.error(f"{flag} conflicts with --deep (fixed capture plan)")
+
+    if args.compat:
+        # The adapter path draws host numpy actions and builds envs with
+        # their default config — none of these flags reach it, and a record
+        # that silently measured the defaults would be misread against
+        # device-loop rows captured with them.
+        for flag, bad in (
+            ("--real-banks", args.real_banks),
+            ("--bank-points", args.bank_points is not None),
+            ("--glimpse-precision", args.glimpse_precision is not None),
+            ("--key-impl", args.key_impl is not None),
+            ("--ab-banks", args.ab_banks),
+            ("--multihost", args.multihost),
+            ("--profile", args.profile is not None),
+        ):
+            if bad:
+                ap.error(f"{flag} conflicts with --compat (not plumbed "
+                         "through the adapter bench)")
 
     pre = None
     if args.distributed:
@@ -598,8 +631,13 @@ def main():
         ndev = len(jax.devices())
         total = args.num_envs * ndev
         venv, params, baseline = BENCHES[args.env](total)
+        mh_key = (
+            jax.random.key(0, impl=args.key_impl)
+            if args.key_impl
+            else jax.random.key(0)
+        )
         sps, ndev = bench_env_multihost(
-            venv, params, args.steps, jax.random.key(0), args.num_envs
+            venv, params, args.steps, mh_key, args.num_envs
         )
         if jax.process_index() == 0:
             print(
@@ -613,6 +651,7 @@ def main():
                         "processes": jax.process_count(),
                         "per_device": round(sps / ndev, 1),
                         "device_kind": device_fingerprint()["device_kind"],
+                        **({"key_impl": args.key_impl} if args.key_impl else {}),
                     }
                 )
             )

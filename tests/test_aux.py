@@ -440,7 +440,13 @@ def test_bench_deep_rejects_conflicting_flags():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
-    for extra in (["--env", "mnist"], ["--all"], ["--key-impl", "rbg"]):
+    for extra in (
+        ["--env", "mnist"],
+        ["--all"],
+        ["--key-impl", "rbg"],
+        ["--multihost"],  # earlier mode branch would hijack the capture
+        ["--profile", "/tmp/t"],
+    ):
         out = subprocess.run(
             [sys.executable, "bench.py", "--deep", *extra],
             cwd=root,
@@ -451,3 +457,15 @@ def test_bench_deep_rejects_conflicting_flags():
         )
         assert out.returncode == 2, (extra, out.stderr[-300:])
         assert "conflicts with --deep" in out.stderr
+    # --compat refuses flags the adapter bench does not plumb through
+    for extra in (["--real-banks"], ["--key-impl", "rbg"], ["--ab-banks"]):
+        out = subprocess.run(
+            [sys.executable, "bench.py", "--compat", *extra],
+            cwd=root,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert out.returncode == 2, (extra, out.stderr[-300:])
+        assert "conflicts with --compat" in out.stderr

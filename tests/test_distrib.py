@@ -388,26 +388,38 @@ def test_multihost_bench_tin_loc(mesh):
 
 
 def test_init_distributed_raises_on_late_call(monkeypatch):
-    """init_distributed swallows ONLY the idempotent double-call; the
-    "backend already initialized" RuntimeError (jax.devices() was touched
-    first) must propagate, or every host of a multi-host run silently
-    degrades to its own single-process world."""
+    """init_distributed swallows ONLY the idempotent double-call (decided by
+    querying jax.distributed.is_initialized, never by matching error text —
+    messages are not API); the "must be called before any JAX calls"
+    RuntimeError (jax.devices() was touched first) must propagate, or every
+    host of a multi-host run silently degrades to its own single-process
+    world."""
     import jax
 
     from apx.distrib import init_distributed
 
-    def once(**kw):
-        raise RuntimeError("distributed.initialize should only be called once.")
+    calls = []
 
-    def late(**kw):
-        raise RuntimeError(
-            "jax.distributed.initialize() must be called before any JAX "
-            "calls that might initialise the XLA backend."
-        )
+    def refuse(**kw):
+        calls.append("initialize")
+        raise RuntimeError("anything: the text must not matter")
 
-    monkeypatch.setattr(jax.distributed, "initialize", once)
-    init_distributed()  # idempotent: no raise
+    monkeypatch.setattr(jax.distributed, "initialize", refuse)
 
-    monkeypatch.setattr(jax.distributed, "initialize", late)
-    with pytest.raises(RuntimeError, match="must be called before"):
+    # Already initialized -> no-op, initialize never even called.
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    init_distributed()
+    assert calls == []
+
+    # Raced double-call: initialize raises but the state says initialized
+    # by the time we re-check -> swallowed.
+    flips = iter([False, True])
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: next(flips))
+    init_distributed()
+    assert calls == ["initialize"]
+
+    # Genuine failure (backend touched first): state stays uninitialized
+    # -> the error propagates whatever its wording.
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    with pytest.raises(RuntimeError, match="text must not matter"):
         init_distributed()
