@@ -90,6 +90,14 @@ def generate_rooms_map(
     """(H, W) bool rooms map, True = wall. Draw-sequence-identical to
     floor_map_dataset_rooms.py:25-89. Uses int8 working values: 1 = wall,
     -1 = door (protected from later wall passes), 0 = free."""
+    if width != height:
+        # The final coin-flip transpose (mirroring the reference,
+        # floor_map_dataset_rooms.py:86-87) is only shape-preserving for
+        # square maps; a non-square grid would come back (W, H) on half of
+        # all indices and the bank stacker would crash. Every registered
+        # config is square; reject the rest loudly.
+        raise ValueError("rooms maps must be square (width == height); "
+                         f"got {width}x{height}")
     rng = np.random.default_rng(int(idx))
     min_room = door_width + 2
     grid = np.zeros((height, width), dtype=np.int8)
@@ -232,6 +240,12 @@ def _make_bank(
         free_cells[m, : len(idxs)] = idxs
     return MapBank(
         maps=jnp.asarray(maps),
+        # uint32 narrowing: the seeded draw mirrors the reference's
+        # integers(0, 2**32, endpoint=True) (lidar_localization2d.py:552),
+        # whose top value equals the virtual dataset LENGTH — already out
+        # of range in the reference itself. On that 2**-32 edge the map is
+        # generated from the full 64-bit value but the recorded identity
+        # wraps to 0; device-side info stays uint32 (x64 is off).
         indices=jnp.asarray(indices.astype(np.uint32)),
         free_counts=jnp.asarray(free),
         row_words=row_words,
@@ -280,6 +294,12 @@ def make_rooms_bank(
     backend: str = "python",
 ) -> MapBank:
     """See make_maze_bank for backend semantics."""
+    if width != height:
+        # Checked here as well as in generate_rooms_map so the NATIVE
+        # backend (whose C++ transpose assumes square strides) can never
+        # be reached with a non-square request.
+        raise ValueError("rooms maps must be square (width == height); "
+                         f"got {width}x{height}")
 
     def native_gen(idx):
         from .native import generate_rooms_bank_native

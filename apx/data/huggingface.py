@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import zlib
 from typing import Sequence
 
 import numpy as np
@@ -89,7 +90,11 @@ def synthetic_image_bank(
         k = len(label_subset)
     n = num_points or min(geo.split_sizes.get(split, 8192), 8192)
 
-    rng = np.random.default_rng((seed, hash(name) & 0xFFFF, 0 if split == "train" else 1))
+    # zlib.crc32, NOT hash(): str hashing is salted per interpreter, which
+    # would make the "deterministic" synthetic bank differ in every process
+    # (breaking cross-process A/Bs and multi-host bank replication).
+    name_tag = zlib.crc32(name.encode()) & 0xFFFF
+    rng = np.random.default_rng((seed, name_tag, 0 if split == "train" else 1))
     labels = rng.integers(0, k, size=n).astype(np.int32)
     phase = rng.uniform(0, 2 * np.pi, size=(n, 1, 1, 1)).astype(np.float32)
     shift = rng.uniform(-0.5, 0.5, size=(n, 1, 1, 1)).astype(np.float32)
@@ -162,7 +167,14 @@ def _filter_hf_split(data, label_key: str, label_names, filter_labels):
     keep = [label_names.index(l) for l in filter_labels]
     lab = np.asarray(data[label_key])
     sel = np.where((lab[:, None] == np.asarray(keep)).any(axis=-1))[0]
-    lut = np.full(int(lab.max(initial=0)) + 1, -1, dtype=np.int32)
+    if len(sel) == 0:
+        raise ValueError(
+            f"filter_labels={list(filter_labels)!r} matched no rows in this "
+            "split — a bank needs at least one image"
+        )
+    # Size the LUT to cover the kept ids too: a split with zero rows of the
+    # highest filtered class would otherwise make lut[keep] raise.
+    lut = np.full(max(int(lab.max(initial=0)), max(keep)) + 1, -1, dtype=np.int32)
     lut[np.asarray(keep)] = np.arange(len(keep), dtype=np.int32)
     return data.select(sel), lut
 
@@ -219,9 +231,16 @@ def load_hf_image_bank(
 
     if synthetic is not True:
         saved: list[tuple] = []
+        saved_env: list[str] = []
         try:
-            os.environ.setdefault("HF_HUB_OFFLINE", "1")
-            os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
+            # Track which vars WE introduced so the finally block can remove
+            # them again: a leftover HF_HUB_OFFLINE=1 would be inherited by
+            # every later subprocess (xdist workers, data loaders) and force
+            # their legitimate downloads offline.
+            for _var in ("HF_HUB_OFFLINE", "HF_DATASETS_OFFLINE"):
+                if _var not in os.environ:
+                    os.environ[_var] = "1"
+                    saved_env.append(_var)
             from datasets import load_dataset
 
             if os.environ.get("HF_HUB_OFFLINE") != "0":
@@ -273,6 +292,8 @@ def load_hf_image_bank(
         finally:
             for obj, attr, val in saved:
                 setattr(obj, attr, val)
+            for _var in saved_env:
+                os.environ.pop(_var, None)
     return synthetic_image_bank(
         name, split=split, channels=channels,
         filter_labels=filter_labels, num_points=num_points,

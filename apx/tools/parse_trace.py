@@ -7,7 +7,9 @@ LOCKSTEP cond copies, the issue-bound glimpse, the autoreset map-gather
 
 Usage:
     python -m apx.tools.parse_trace DIR_OR_TRACE_JSON_GZ [--top N]
-    python -m apx.tools.parse_trace /tmp/apx_trace --device-only
+    python -m apx.tools.parse_trace /tmp/apx_trace --all-processes
+
+Device-only is the default; --all-processes adds the host/python rows.
 
 Works on any device's trace (the TPU relay included): device ops live
 under the process named like "/device:TPU:0"; host rows are the python

@@ -228,8 +228,6 @@ def make_train_iter(
             net, opt_state = carry
             mb_data = jax.tree_util.tree_map(lambda x: x[idx], batch)
             grads = jax.grad(ppo_loss)(net, mb_data)
-            # Fold the prediction-head gradient in on the first minibatch
-            # of each epoch (it was computed over the full rollout).
             updates, opt_state = opt.update(grads, opt_state, net)
             return (optax.apply_updates(net, updates), opt_state), None
 

@@ -347,6 +347,30 @@ def make_train_iter(
     return train_iter, empty_ring
 
 
+# Env axis per ring field, by NAME: obs/act/rew/done are (C, L, N, ...),
+# h0/c0 are (C, N, H), ptr/filled replicated scalars. Matching on shape
+# instead would misfire whenever hidden == num_envs (true at main()'s
+# defaults) and silently shard the LSTM hidden axis over "data".
+RING_ENV_AXIS = {"obs": 2, "act": 2, "rew": 2, "done": 2, "h0": 1, "c0": 1}
+
+
+def ring_shardings(ring, mesh, data_axis: str = "data"):
+    """Per-leaf NamedShardings placing each ring field's env axis on the
+    mesh's data axis (replicating the ptr/filled scalars)."""
+    rep = NamedSharding(mesh, P())
+    return {
+        k: jax.tree_util.tree_map(
+            lambda x, ax=RING_ENV_AXIS.get(k): (
+                rep
+                if ax is None
+                else NamedSharding(mesh, P(*([None] * ax), data_axis))
+            ),
+            v,
+        )
+        for k, v in ring.items()
+    }
+
+
 def main(num_envs=None, iters=None, quiet=False):
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     num_envs = num_envs or (int(argv[0]) if len(argv) > 0 else 128)
@@ -382,15 +406,8 @@ def main(num_envs=None, iters=None, quiet=False):
     )
     ring0 = empty_ring(obs0)
 
-    def ring_sharding(x):
-        if x.ndim >= 3 and x.shape[2] == num_envs:
-            return NamedSharding(mesh, P(None, None, "data"))  # (C, L, N, ...)
-        if x.ndim >= 2 and x.shape[1] == num_envs:
-            return NamedSharding(mesh, P(None, "data"))  # h0/c0 (C, N, H)
-        return rep
-
     ring = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, ring_sharding(x)), ring0
+        jax.device_put, ring0, ring_shardings(ring0, mesh)
     )
     carry = (
         jax.device_put(jnp.zeros((num_envs, hidden)), dp),

@@ -59,7 +59,13 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 import apx
-from examples.train_ppo_lidar import encode, init_net, logp_gauss, policy_dist
+from examples.train_ppo_lidar import (
+    apply_dense,
+    encode,
+    init_net,
+    logp_gauss,
+    policy_dist,
+)
 from examples.train_ppo_mesh import make_dp_tp_mesh, shard_net
 
 
@@ -122,9 +128,7 @@ def make_train_iter(
                 a = jnp.tanh(a_raw)
                 # prediction comes from the LEARNER net: its gradient
                 # flows through the composite reward's -loss term.
-                pred = jnp.tanh(
-                    (encode(net, obs) @ net["pred"]["w"]) + net["pred"]["b"]
-                )
+                pred = apply_dense(net["pred"], encode(net, obs), jnp.tanh)
                 obs2, st2, r, te, tr, _ = venv.step(
                     ks, st,
                     {"action": jax.lax.stop_gradient(a), "prediction": pred},
@@ -159,16 +163,14 @@ def make_train_iter(
                 lambda x: x.reshape((-1,) + x.shape[2:]), obs_t
             )
             z = encode(net, flat_obs)
-            v = (z @ net["value"]["w"] + net["value"]["b"])[..., 0].reshape(
+            v = apply_dense(net["value"], z)[..., 0].reshape(
                 rollout_len, num_envs
             )
             mean, logstd = policy_dist(
                 net, z.reshape(rollout_len, num_envs, -1)
             )
             logp = logp_gauss(araw_t, mean, logstd)
-            v_last = (
-                encode(net, obs_f) @ net["value"]["w"] + net["value"]["b"]
-            )[..., 0]
+            v_last = apply_dense(net["value"], encode(net, obs_f))[..., 0]
             vs, pg_adv = vtrace(
                 r_t, jax.lax.stop_gradient(v), jax.lax.stop_gradient(v_last),
                 jax.lax.stop_gradient(logp) - logp_b_t, done_t, gamma,

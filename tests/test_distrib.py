@@ -423,3 +423,32 @@ def test_init_distributed_raises_on_late_call(monkeypatch):
     monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
     with pytest.raises(RuntimeError, match="text must not matter"):
         init_distributed()
+
+
+def test_r2d2_ring_shardings_env_axis(mesh):
+    """ring_shardings places each ring field's ENV axis on the mesh data
+    axis by field name — immune to the hidden == num_envs shape collision
+    that a dimension-size heuristic would trip over."""
+    from examples.train_ppo_mesh import make_dp_tp_mesh
+    from examples.train_r2d2_mesh import ring_shardings
+    from jax.sharding import PartitionSpec as P
+
+    n = hidden = 8  # the collision case
+    capacity, seq_len = 4, 6
+    ring = {
+        "obs": {"x": jnp.zeros((capacity, seq_len, n, 3))},
+        "act": jnp.zeros((capacity, seq_len, n), jnp.int32),
+        "rew": jnp.zeros((capacity, seq_len, n)),
+        "done": jnp.zeros((capacity, seq_len, n), jnp.bool_),
+        "h0": jnp.zeros((capacity, n, hidden)),
+        "c0": jnp.zeros((capacity, n, hidden)),
+        "ptr": jnp.zeros((), jnp.int32),
+        "filled": jnp.zeros((), jnp.int32),
+    }
+    mesh2 = make_dp_tp_mesh(jax.devices()[:8])
+    sh = ring_shardings(ring, mesh2)
+    assert sh["h0"].spec == P(None, "data")
+    assert sh["c0"].spec == P(None, "data")
+    assert sh["obs"]["x"].spec == P(None, None, "data")
+    assert sh["act"].spec == P(None, None, "data")
+    assert sh["ptr"].spec == P()

@@ -188,3 +188,94 @@ def test_load_hf_image_bank_truncates_real_path(monkeypatch):
     )
     assert getattr(bank, "_bank_kind", None) == "huggingface"
     assert hub_c.HF_HUB_OFFLINE == before
+
+
+def test_synthetic_bank_is_process_stable():
+    """The synthetic fallback bank must be identical across interpreter
+    processes (hash() is salted per process; the generator seeds with a
+    stable digest instead): a child process computes the same bank bytes."""
+    import hashlib
+    import os
+    import subprocess
+    import sys
+
+    from apx.data.huggingface import synthetic_image_bank
+
+    def digest(bank):
+        h = hashlib.sha256()
+        h.update(np.asarray(bank.images).tobytes())
+        h.update(np.asarray(bank.labels).tobytes())
+        return h.hexdigest()
+
+    here = digest(synthetic_image_bank("mnist", num_points=32))
+    child = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import hashlib, numpy as np\n"
+            "from apx.data.huggingface import synthetic_image_bank\n"
+            "b = synthetic_image_bank('mnist', num_points=32)\n"
+            "h = hashlib.sha256()\n"
+            "h.update(np.asarray(b.images).tobytes())\n"
+            "h.update(np.asarray(b.labels).tobytes())\n"
+            "print(h.hexdigest())\n",
+        ],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS=""),
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert child.returncode == 0, child.stderr[-500:]
+    assert child.stdout.strip() == here
+
+
+def test_offline_probe_restores_os_environ(monkeypatch):
+    """The offline-probe env vars are removed again when the probe
+    introduced them — a leftover HF_HUB_OFFLINE=1 would force every later
+    subprocess (xdist workers, data loaders) offline."""
+    import os
+
+    import apx.data.huggingface as hf_mod
+
+    monkeypatch.delenv("HF_HUB_OFFLINE", raising=False)
+    monkeypatch.delenv("HF_DATASETS_OFFLINE", raising=False)
+    dd = _fixture(channels=1, n=6)
+    monkeypatch.setattr("datasets.load_dataset", lambda *a, **k: dd)
+    bank = hf_mod.load_hf_image_bank("whatever", channels=1, synthetic=False)
+    assert bank.length == 6
+    assert "HF_HUB_OFFLINE" not in os.environ
+    assert "HF_DATASETS_OFFLINE" not in os.environ
+
+
+def test_filter_labels_survive_split_missing_top_class(monkeypatch):
+    """filter_labels resolves against the TRAIN split's ClassLabel; a
+    split with zero rows of the highest filtered class must fail with a
+    clear zero-rows ValueError, not an IndexError from an undersized remap
+    LUT (and a PARTIALLY missing class must still remap correctly)."""
+    names = [f"cls{i}" for i in range(4)]
+    feats = datasets.Features(
+        {"image": datasets.Image(), "label": datasets.ClassLabel(names=names)}
+    )
+    rng = np.random.default_rng(0)
+
+    def split(labels):
+        imgs = [
+            PIL.Image.fromarray(rng.integers(0, 256, (9, 7), dtype=np.uint8))
+            for _ in labels
+        ]
+        return datasets.Dataset.from_dict(
+            {"image": imgs, "label": list(labels)}, features=feats
+        )
+
+    dd = datasets.DatasetDict(
+        {"train": split([0, 1, 2, 3]), "test": split([0, 0, 1])}
+    )
+    with pytest.raises(ValueError, match="matched no rows"):
+        bank_from_hf(dd, split="test", channels=1, filter_labels=["cls3"])
+    # cls3 absent from the split but cls1 present: LUT must cover id 3
+    bank = bank_from_hf(
+        dd, split="test", channels=1, filter_labels=["cls3", "cls1"]
+    )
+    assert bank.length == 1
+    np.testing.assert_array_equal(np.asarray(bank.labels), [1])

@@ -622,3 +622,15 @@ def test_map_bank_packed_fetch_bitwise():
         )
         got1 = bank.fetch(jnp.int32(1))
         np.testing.assert_array_equal(np.asarray(got1), np.asarray(bank.maps)[1])
+
+
+def test_rooms_bank_rejects_non_square():
+    """The rooms generator's final coin-flip transpose (mirroring the
+    reference) is only shape-preserving for square maps; non-square
+    requests must be rejected loudly in BOTH backends (the native C++
+    transpose additionally assumes square strides)."""
+    with pytest.raises(ValueError, match="square"):
+        generate_rooms_map(0, width=40, height=20)
+    for backend in ("python", "auto"):
+        with pytest.raises(ValueError, match="square"):
+            make_rooms_bank(num_maps=2, width=40, height=20, backend=backend)
