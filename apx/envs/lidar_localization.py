@@ -468,10 +468,19 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         cand_dist, _ = self._raycast(
             state, pos1, pos1 + cand, params, 2, window=window
         )
-        idx = jnp.where(cand_dist[0] > 0.0, 0, 1)
+        # Pick the surviving slide candidate. The reference indexes with a
+        # data-dependent 0/1 idx; under vmap that lowers to three per-env
+        # gathers, which serialize on TPU (~87 us/step at N=4096 — the
+        # profiled ops formerly at :473-474). The index is binary, so a
+        # predicated select over the two statically-sliced rows is
+        # bitwise-identical and stays elementwise.
+        use0 = cand_dist[0] > 0.0
+        sel_cand = jnp.where(use0, cand[0], cand[1])  # (2,)
+        sel_diag = jnp.where(use0, cand_diag[0], cand_diag[1])
+        sel_dist = jnp.where(use0, cand_dist[0], cand_dist[1])
         slide = (
-            cand[idx] / jnp.where(cand_diag[idx] == 0.0, 1.0, cand_diag[idx])
-        ) * cand_dist[idx]
+            sel_cand / jnp.where(sel_diag == 0.0, 1.0, sel_diag)
+        ) * sel_dist
         do_slide = (total > 0.0) & (rem > 1e-5) & (n_keep > 0)
         pos2 = jnp.where(do_slide, pos1 + slide, pos1)
         pos2 = jnp.where(total > 0.0, pos2, state.pos)
