@@ -80,7 +80,7 @@ def _base_reset_from_draws(base, draws: dict[str, Any], params):
         return {"noisy_position": noisy.astype(jnp.float32)}, state, {}
 
     if isinstance(base, LIDARLocalizationEnv):
-        from ..ops.raycast import pad_occupancy
+        from ..ops.raycast import pack_row_halves, pad_occupancy
 
         occ = jnp.asarray(draws["occ"])
         pos = jnp.asarray(draws["pos"], jnp.float32)
@@ -93,6 +93,11 @@ def _base_reset_from_draws(base, draws: dict[str, Any], params):
             occ_padded=(
                 jax.vmap(lambda o: pad_occupancy(o, params.ray_pad))(occ)
                 if params.needs_padded_occ
+                else None
+            ),
+            row_halves=(
+                jax.vmap(pack_row_halves)(occ)
+                if params.needs_row_halves
                 else None
             ),
             bank_pos=jnp.zeros((n,), jnp.int32),

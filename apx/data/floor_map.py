@@ -195,6 +195,27 @@ class MapBank(struct.PyTreeNode):
             return (bits & jnp.uint32(1)) == 1  # (..., H, W) bool, bitwise
         return jnp.take(self.maps, bank_idx, axis=0)
 
+    def fetch_halves(self, bank_idx: jax.Array) -> jax.Array:
+        """(..., H, 2) int32: each fetched row's occupancy bits packed
+        little-endian into two 16-bit half-words — bit-identical to
+        ``raycast.pack_row_halves(self.fetch(bank_idx))`` (asserted in
+        tests/test_lidar.py), but two shift/masks on the already-packed
+        row_words instead of a 16-term multiply-reduce on unpacked bools.
+        The bitslab raycast backends window from these halves; packing once
+        here (episode-constant) instead of every step was worth ~24 us/step
+        at N=4096 (PERF.md round 4)."""
+        if self.row_words is not None:
+            words = jnp.take(self.row_words, bank_idx, axis=0)  # (..., H)
+            return jnp.stack(
+                [words & jnp.uint32(0xFFFF), words >> jnp.uint32(16)], axis=-1
+            ).astype(jnp.int32)
+        from ..ops.raycast import pack_row_halves
+
+        occ = jnp.take(self.maps, bank_idx, axis=0)
+        for _ in range(occ.ndim - 2):
+            pack_row_halves = jax.vmap(pack_row_halves)
+        return pack_row_halves(occ)
+
 
 def _make_bank(
     gen, num_maps: int, seed: int | None, explicit_indices, native_gen=None,

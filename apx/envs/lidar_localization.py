@@ -49,7 +49,6 @@ from ..ops.raycast import (
     extract_window_mxu,
     lidar_directions,
     lidar_table_scan,
-    pack_row_halves,
     pad_occupancy,
     raycast_grid,
     raycast_grid_bitslab,
@@ -151,6 +150,15 @@ class LIDARLocalizationParams(struct.PyTreeNode):
         )
 
     @property
+    def needs_row_halves(self) -> bool:
+        """The bitslab backends window from the 16-bit-half-packed rows;
+        the halves are episode-constant, so they are packed once at reset
+        (from the bank's already-packed row_words, two shift/masks) and
+        carried in state instead of re-packed from the bool map every
+        step (a 16-term multiply-reduce, ~24 us/step at N=4096)."""
+        return self.use_bitslab or self.use_bitslab2d
+
+    @property
     def beam_tables_active(self) -> bool:
         return (
             self.use_beam_tables
@@ -194,6 +202,10 @@ class LIDARLocalizationState(struct.PyTreeNode):
     # so the scan doesn't carry (and copy, ~45 us/step at N=4096) a dead
     # buffer.
     occ_padded: jax.Array | None
+    # (H, 2) int32 16-bit-half-packed rows (raycast.pack_row_halves
+    # semantics) — present ONLY for the bitslab backends
+    # (params.needs_row_halves); episode-constant, packed at reset.
+    row_halves: jax.Array | None
     bank_pos: jax.Array  # () int32 — position in the bank
     map_idx: jax.Array  # () uint32 — dataset index of the current map
     pos: jax.Array  # (2,) f32 (x, y)
@@ -263,7 +275,7 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
             base_x = jnp.floor(state.pos[0]) - half
             base_y = jnp.floor(state.pos[1]) - half
             occ_win = bitslab_window_2d(
-                pack_row_halves(state.occ),
+                state.row_halves,
                 base_x.astype(jnp.int32),
                 base_y.astype(jnp.int32),
                 w,
@@ -273,7 +285,7 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
             _, w = params.map_bank.map_hw
             base_x = jnp.floor(state.pos[0]) - (params.win_size // 2 - 1)
             occ_win = bitslab_window(
-                pack_row_halves(state.occ), base_x.astype(jnp.int32), w
+                state.row_halves, base_x.astype(jnp.int32), w
             )
             return ("bitslab", occ_win, base_x)
         if params.use_pallas_window:
@@ -419,6 +431,11 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
             occ_padded=(
                 pad_occupancy(occ, params.ray_pad)
                 if params.needs_padded_occ
+                else None
+            ),
+            row_halves=(
+                params.map_bank.fetch_halves(bank_pos)
+                if params.needs_row_halves
                 else None
             ),
             bank_pos=bank_pos,

@@ -432,6 +432,38 @@ def test_pallas_window_matches_dense():
         np.testing.assert_array_equal(np.asarray(te1), np.asarray(te2))
 
 
+def test_fetch_halves_matches_pack_row_halves():
+    """MapBank.fetch_halves (the reset-time packing the bitslab backends
+    window from, carried in state.row_halves) is bitwise equal to packing
+    the fetched bool map — on both the packed-row_words fast path and the
+    bool-maps fallback."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from apx.data.floor_map import make_maze_bank, make_rooms_bank
+    from apx.ops.raycast import pack_row_halves
+
+    for bank in (
+        make_rooms_bank(num_maps=5, seed=11),
+        make_maze_bank(num_maps=5, seed=12),
+    ):
+        assert bank.row_words is not None
+        fallback = dataclasses.replace(bank, row_words=None)
+        for i in range(5):
+            idx = jnp.int32(i)
+            expect = np.asarray(pack_row_halves(bank.fetch(idx)))
+            np.testing.assert_array_equal(np.asarray(bank.fetch_halves(idx)), expect)
+            np.testing.assert_array_equal(
+                np.asarray(fallback.fetch_halves(idx)), expect
+            )
+        batched = np.asarray(bank.fetch_halves(jnp.arange(5)))
+        for i in range(5):
+            np.testing.assert_array_equal(
+                batched[i], np.asarray(bank.fetch_halves(jnp.int32(i)))
+            )
+
+
 def test_bitslab_raycast_matches_dense_bitwise():
     """The bit-packed 16-column window raycast is BITWISE equal to the
     dense fast path: the window lattice keeps global coordinates, so every
