@@ -510,7 +510,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--env", default="lidar_rooms", choices=sorted(BENCHES))
     ap.add_argument("--num-envs", type=int, default=4096)
-    ap.add_argument("--steps", type=int, default=256)
+    # 1024 (was 256 through round 4): the axon relay charges a FIXED
+    # ~25 ms per jit call (dispatch + completion + the scalar-fetch
+    # barrier); a 256-step lidar_rooms run is ~70 ms wall, so the fixed
+    # charge diluted measured throughput ~35% below the device-busy rate
+    # (solved from a steps={256,1024,2048} sweep, PERF.md round 4). 1024
+    # amortizes it to <8% while keeping every timed run under a second.
+    # The calibration run stays at its fixed 4096x200 anchor.
+    ap.add_argument("--steps", type=int, default=1024)
     ap.add_argument("--all", action="store_true", help="print one line per env")
     ap.add_argument(
         "--profile", metavar="DIR", default=None,
