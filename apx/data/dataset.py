@@ -100,7 +100,20 @@ class BankImageDataset(ImageDataset):
     def fetch_raw(self, idx: jax.Array) -> tuple[jax.Array, jax.Array]:
         img = jnp.take(self.images, idx, axis=0)
         if self.packed_shape is not None:
-            u8 = jax.lax.bitcast_convert_type(img, jnp.uint8)  # (..., P, 4)
+            # Explicit little-endian shift/mask unpack (byte-identical to
+            # bitcast_convert_type, pinned in test_hf_ingestion): TPU has
+            # no byte-addressed bitcast, so XLA lowered the bitcast form
+            # through a fully materialized u32 per-BYTE intermediate — 4x
+            # the unpacked bytes of HBM (200 MB per tin_loc episode
+            # boundary, the largest op in its reset profile). The shift
+            # form reads the gathered words 4x and writes u8 once.
+            u8 = jnp.stack(
+                [
+                    (img >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)
+                    for i in range(4)
+                ],
+                axis=-1,
+            ).astype(jnp.uint8)
             img = u8.reshape(jnp.shape(idx) + self.packed_shape)
         label = jnp.take(self.labels, idx, axis=0).astype(jnp.int32)
         return img, label
