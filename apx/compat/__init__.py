@@ -57,7 +57,13 @@ def _mk_spec(env_id: str, entry):
     )
 
 
-def make(env_id: str, rng: str = "reference", log_wrapper: bool = True, **overrides):
+def make(
+    env_id: str,
+    rng: str = "reference",
+    log_wrapper: bool = True,
+    key_impl: str | None = None,
+    **overrides,
+):
     if overrides.pop("render_mode", "rgb_array") != "rgb_array":
         raise ValueError("only render_mode='rgb_array' is supported")
     entry = _entry(env_id)
@@ -67,7 +73,10 @@ def make(env_id: str, rng: str = "reference", log_wrapper: bool = True, **overri
     if entry.vector_wrapper is not None:
         # Hide-and-seek: single env = squeezed 1-env vector pipeline, like
         # the reference (registration.py:482-489).
-        vec = make_vec(env_id, num_envs=1, rng=rng, log_wrapper=False, **overrides)
+        vec = make_vec(
+            env_id, num_envs=1, rng=rng, log_wrapper=False,
+            key_impl=key_impl, **overrides,
+        )
         gym_env = GymAPEnv(vec=vec)
     else:
         gym_env = GymAPEnv(
@@ -76,6 +85,7 @@ def make(env_id: str, rng: str = "reference", log_wrapper: bool = True, **overri
             autoreset="lockstep" if lockstep else "none",
             rng=rng,
             sparse=entry.sparse,
+            key_impl=key_impl,
         )
     gym_env.spec = _mk_spec(env_id, entry)
     if log_wrapper and entry.metrics == "classification":
@@ -90,6 +100,7 @@ def make_vec(
     num_envs: int = 1,
     rng: str = "reference",
     log_wrapper: bool = True,
+    key_impl: str | None = None,
     **overrides,
 ):
     if overrides.pop("render_mode", "rgb_array") != "rgb_array":
@@ -106,6 +117,7 @@ def make_vec(
         rng=rng,  # next_step families use per-sub-env np_random chains
         # matching the reference's SyncVectorEnv (seed+i per sub-env).
         sparse=entry.sparse,
+        key_impl=key_impl,  # rng="native" only: "rbg" = TPU hardware RNG
     )
     if entry.vector_wrapper is not None:
         from .hide_and_seek import GymHideAndSeekWrapper

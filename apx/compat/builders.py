@@ -39,7 +39,11 @@ def unwrap_state(state):
 
 def _perception_state(base, draws, params):
     def one(idx, inverted, pos):
-        image, label = params.dataset.fetch(idx)
+        # State-form image leaf (packed row for packed banks) so compat
+        # states are pytree- and bitwise-identical to native resets given
+        # the same draws; glimpses of u8/255 and host-f32 images are
+        # bitwise equal either way (extract_glimpse converts on read).
+        image, label = ImagePerceptionEngine.fetch_state_image(idx, params)
         if params.randomly_invert_labels:
             label = jnp.where(
                 inverted, params.dataset.num_classes - label - 1, label
@@ -106,7 +110,12 @@ def _base_reset_from_draws(base, draws: dict[str, Any], params):
             initial_pos=pos,
             odo_pending=jnp.ones((n,), jnp.bool_),
         )
-        obs = jax.vmap(lambda s: base._observe(s, params, typed=True))(state)
+        obs = jax.vmap(
+            lambda s: {
+                **base._observe(s, params, typed=True),
+                **base.obs_derived_from_state(s, params),
+            }
+        )(state)
         info = jax.vmap(lambda s: base._info(s, params))(state)
         return obs, state, info
 

@@ -71,9 +71,22 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
         rng: str = "reference",  # "reference" | "native"
         sparse: bool = False,
         info_mode: str | None = None,  # "update" | "replace" | None (auto)
+        key_impl: str | None = None,  # None (threefry) | "rbg" | "unsafe_rbg"
     ):
         assert autoreset in ("lockstep", "next_step", "none")
         assert rng in ("reference", "native")
+        if key_impl is not None and rng == "reference":
+            # Parity mode's episode randomness is the reference's host NumPy
+            # PCG64 chain, and its golden pins assume threefry for the few
+            # internal jax keys — a hardware-RNG key impl has no meaning
+            # there. rng="native" is the opt-in surface (docs/
+            # advanced_usage.md: rbg measured +5% lidar/circle_square, +23%
+            # light_dark on v5e; trajectories differ from threefry's).
+            raise ValueError(
+                "key_impl requires rng='native': rng='reference' parity mode "
+                "pins the reference draw chain (threefry internals)"
+            )
+        self.key_impl = key_impl
         # Reference info asymmetry: the native vector step template UPDATES
         # the env's info dict (active_perception_vector_env.py:84-111) while
         # the single-env template REPLACES it with a fresh
@@ -158,9 +171,21 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
         n = num_envs
         params = jax.device_put(params)
 
+        def merge_derived(obs, state, params):
+            # Derived obs entries (APEnv.obs_derived_from_state — e.g.
+            # LIDAR's map channel) are omitted from raw step/reset obs;
+            # every obs leaving a jit boundary here must be complete.
+            d = jax.vmap(
+                lambda s: env.obs_derived_from_state(s, params)
+            )(state)
+            return {**obs, **d} if d else obs
+
         def jit_reset_native(key, params):
             keys = jax.random.split(key, n)
-            return jax.vmap(env.reset_env, in_axes=(0, None))(keys, params)
+            obs, state, info = jax.vmap(env.reset_env, in_axes=(0, None))(
+                keys, params
+            )
+            return merge_derived(obs, state, params), state, info
 
         def jit_reset_draws(draws, params):
             return reset_from_draws(env, draws, params)
@@ -170,7 +195,8 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
             r = jax.vmap(env.step_env, in_axes=(0, 0, 0, 0, None))(
                 keys, state, action, prediction, params
             )
-            return apply_step_draws(env, r, step_draws, params)
+            r = apply_step_draws(env, r, step_draws, params)
+            return r.replace(obs=merge_derived(r.obs, r.state, params))
 
         def jit_target_on_reset(old_state, new_state, params):
             return jax.vmap(
@@ -179,9 +205,10 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
 
         def jit_autoreset_native(key, old_state, params):
             keys = jax.random.split(key, n)
-            return jax.vmap(env.autoreset_env, in_axes=(0, 0, None))(
+            obs, state, info = jax.vmap(env.autoreset_env, in_axes=(0, 0, None))(
                 keys, old_state, params
             )
+            return merge_derived(obs, state, params), state, info
 
         jit_reset_native = jax.jit(jit_reset_native)
         jit_reset_draws = jax.jit(jit_reset_draws)
@@ -254,7 +281,12 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
                     self._np_random, _ = seeding.np_random(seed)
                     self.shim.seed(self._np_random)
             else:
-                self._key = jax.random.PRNGKey(0 if seed is None else seed)
+                seed_val = 0 if seed is None else seed
+                self._key = (
+                    jax.random.key(seed_val, impl=self.key_impl)
+                    if self.key_impl
+                    else jax.random.PRNGKey(seed_val)
+                )
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -469,9 +501,10 @@ class GymAPEnv(gym.Env):
     spec = None
 
     def __init__(self, env=None, params=None, autoreset="lockstep",
-                 rng="reference", sparse=False, vec=None):
+                 rng="reference", sparse=False, vec=None, key_impl=None):
         self._vec = vec if vec is not None else GymVectorAPEnv(
-            env, params, num_envs=1, autoreset=autoreset, rng=rng, sparse=sparse
+            env, params, num_envs=1, autoreset=autoreset, rng=rng,
+            sparse=sparse, key_impl=key_impl,
         )
         assert self._vec.num_envs == 1
         self.observation_space = self._vec.single_observation_space

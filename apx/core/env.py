@@ -131,6 +131,26 @@ class APEnv(Generic[P, S]):
         (image_localization.py:151-152)."""
         raise NotImplementedError
 
+    def obs_derived_from_state(self, state: S, params: P) -> dict[str, Any]:
+        """Observation entries that are pure elementwise functions of the
+        POST-step state (e.g. LIDAR's dynamic-map channel, occ -> f32/255).
+
+        Envs that override this must omit these keys from the obs returned
+        by step_env/reset_env/autoreset_env; the step/reset templates and
+        the vector layer merge them back in. Why: inside the vector
+        autoreset ``lax.cond`` every obs leaf is computed in BOTH branches
+        and mask-selected — for LIDAR's (N, 32, 32, 1) f32 map that tripled
+        its HBM traffic (~52 us of a ~123 us step, 2.5x the channel's pure
+        write roofline; round-5 profile). Since where(m, f(a), f(b)) ==
+        f(where(m, a, b)) for elementwise f, computing these entries ONCE
+        from the merged state is bitwise-identical and pays the write once.
+        Only valid for dict observations."""
+        return {}
+
+    def _merge_derived_obs(self, obs, state: S, params: P):
+        d = self.obs_derived_from_state(state, params)
+        return {**obs, **d} if d else obs
+
     def compose_info(
         self, info, base_reward, pred_target, loss, prediction, params: P
     ) -> dict[str, Any]:
@@ -146,7 +166,8 @@ class APEnv(Generic[P, S]):
 
     # ---- template methods (mirror ActivePerceptionEnv.step) --------------
     def reset(self, key: jax.Array, params: P) -> tuple[Any, S, dict[str, Any]]:
-        return self.reset_env(key, params)
+        obs, state, info = self.reset_env(key, params)
+        return self._merge_derived_obs(obs, state, params), state, info
 
     def step(
         self, key: jax.Array, state: S, full_action: dict[str, Any], params: P
@@ -166,7 +187,8 @@ class APEnv(Generic[P, S]):
             r.info, r.base_reward, r.prediction_target, loss,
             full_action["prediction"], params,
         )
-        return r.obs, r.state, reward, r.terminated, r.truncated, info
+        obs = self._merge_derived_obs(r.obs, r.state, params)
+        return obs, r.state, reward, r.terminated, r.truncated, info
 
 
 # ---------------------------------------------------------------------------
@@ -201,6 +223,12 @@ class VectorAPEnv:
         )
         return obs, vstate, info
 
+    def _merge_derived_vec(self, obs, inner_state, params):
+        d = jax.vmap(
+            lambda s: self.env.obs_derived_from_state(s, params)
+        )(inner_state)
+        return {**obs, **d} if d else obs
+
     def step(
         self, key: jax.Array, state: VectorState, full_action: dict[str, Any], params
     ) -> tuple[Any, VectorState, jax.Array, jax.Array, jax.Array, dict[str, Any]]:
@@ -231,8 +259,9 @@ class VectorAPEnv:
                 r.info, r.base_reward, r.prediction_target, loss,
                 full_action["prediction"], params,
             )
+            obs = self._merge_derived_vec(r.obs, r.state, params)
             vstate = VectorState(inner=r.state, prev_done=r.terminated | r.truncated)
-            return r.obs, vstate, reward, r.terminated, r.truncated, info
+            return obs, vstate, reward, r.terminated, r.truncated, info
 
         if self.autoreset is AutoResetMode.LOCKSTEP:
             # Reset only when every env is done; loss evaluated against the
@@ -315,6 +344,9 @@ class VectorAPEnv:
         obs, new_inner, base_reward, terminated, truncated, pred_target, info = (
             jax.lax.cond(any_reset, reset_branch, no_reset_branch)
         )
+        # Derived obs entries are computed ONCE from the merged state, not
+        # inside both cond branches (see APEnv.obs_derived_from_state).
+        obs = self._merge_derived_vec(obs, new_inner, params)
 
         loss = loss_fn(full_action["prediction"], pred_target)
         if self.autoreset is AutoResetMode.LOCKSTEP:
@@ -358,6 +390,7 @@ class VectorAPEnv:
             reset_info, base_reward, new_target, loss,
             full_action["prediction"], params,
         )
+        reset_obs = self._merge_derived_vec(reset_obs, reset_state, params)
         vstate = VectorState(inner=reset_state, prev_done=terminated)
         return reset_obs, vstate, reward, terminated, truncated, info
 
@@ -391,7 +424,7 @@ def rollout(
     return obs_f, state_f, traj
 
 
-def segmented_scan(inner_body, boundary_body, carry, keys, period):
+def segmented_scan(inner_body, boundary_body, carry, keys, period, inner_unroll=1):
     """Scan ``inner_body`` over ``keys``, splicing ``boundary_body`` in at
     every ``(period + 1)``-th key — the shared scaffolding of
     ``rollout_episodic``, ``apx.distrib.sharded_rollout`` and ``bench.py``
@@ -400,14 +433,24 @@ def segmented_scan(inner_body, boundary_body, carry, keys, period):
     Both bodies are ``(carry, key) -> (carry, out)`` with the same ``out``
     structure. A trailing partial segment runs without its boundary.
     Returns ``(carry, outs)`` with outs stacked over all ``len(keys)``
-    steps in order."""
+    steps in order.
+
+    ``inner_unroll`` is passed to the inner per-segment scan. Fully
+    unrolling it (``inner_unroll=True``) removes the inner while loop, so
+    episode-constant state leaves flow through the segment as pure SSA
+    values instead of crossing two nested while-loop carries at every
+    episode boundary — the crossings cost ~1.55 ms of relayout copies of
+    the (4096, 64, 64, 3) u8 image batch per TinyImageNetLoc boundary
+    (round-5 profile; the A/B is in PERF.md)."""
     cycle = period + 1
     num_steps = keys.shape[0]
     segments = num_steps // cycle
     leftover = num_steps - segments * cycle
 
     def segment(carry, seg_keys):
-        carry, outs = jax.lax.scan(inner_body, carry, seg_keys[:period])
+        carry, outs = jax.lax.scan(
+            inner_body, carry, seg_keys[:period], unroll=inner_unroll
+        )
         carry, bout = boundary_body(carry, seg_keys[period])
         outs = jax.tree_util.tree_map(
             lambda a, b: jnp.concatenate([a, b[None]]), outs, bout
@@ -425,7 +468,9 @@ def segmented_scan(inner_body, boundary_body, carry, keys, period):
             lambda x: x.reshape((segments * cycle,) + x.shape[2:]), outs
         )
     if leftover:
-        carry, tail = jax.lax.scan(inner_body, carry, keys[segments * cycle :])
+        carry, tail = jax.lax.scan(
+            inner_body, carry, keys[segments * cycle :], unroll=inner_unroll
+        )
         outs = (
             tail
             if outs is None

@@ -15,7 +15,23 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-__all__ = ["ImageDataset", "BankImageDataset"]
+__all__ = ["ImageDataset", "BankImageDataset", "unpack_rows"]
+
+
+def unpack_rows(words: jax.Array, shape: tuple) -> jax.Array:
+    """Unpack little-endian int32-packed byte rows ``(..., R)`` into uint8
+    ``(..., *shape)`` with explicit shifts — byte-identical to
+    ``lax.bitcast_convert_type(words, uint8)`` (pinned in test_hf_ingestion)
+    but TPU-safe: XLA lowers the bitcast through a fully materialized
+    u32-per-BYTE intermediate (4x the unpacked bytes of HBM traffic — the
+    largest op in the round-4 tin_loc reset profile), while the shift form
+    reads the words four times and writes the u8 bytes once. Shared by
+    ``fetch_raw``/``images_unpacked``/the packed-image env state."""
+    u8 = jnp.stack(
+        [(words >> jnp.uint32(8 * i)) & jnp.uint32(0xFF) for i in range(4)],
+        axis=-1,
+    ).astype(jnp.uint8)
+    return u8.reshape(words.shape[:-1] + tuple(shape))
 
 
 class ImageDataset(struct.PyTreeNode):
@@ -43,6 +59,17 @@ class ImageDataset(struct.PyTreeNode):
 
     def fetch_raw(self, idx: jax.Array) -> tuple[jax.Array, jax.Array]:
         return self.fetch(idx)
+
+    def fetch_stored(self, idx: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Rows in the dataset's STORAGE form (packed words for packed banks).
+        Procedural datasets have no storage form; they synthesize the image."""
+        return self.fetch_raw(idx)
+
+    @property
+    def stored_packed_shape(self) -> tuple | None:
+        """Logical (H, W, C) when ``fetch_stored`` returns int32-packed rows,
+        else None (storage form == image form)."""
+        return None
 
 
 class BankImageDataset(ImageDataset):
@@ -85,9 +112,7 @@ class BankImageDataset(ImageDataset):
         """(D, H, W, C) view in the logical dtype (uint8 for packed banks)."""
         if self.packed_shape is None:
             return self.images
-        d = self.images.shape[0]
-        u8 = jax.lax.bitcast_convert_type(self.images, jnp.uint8)
-        return u8.reshape((d,) + self.packed_shape)
+        return unpack_rows(self.images, self.packed_shape)
 
     def fetch(self, idx: jax.Array) -> tuple[jax.Array, jax.Array]:
         img, label = self.fetch_raw(idx)
@@ -100,23 +125,27 @@ class BankImageDataset(ImageDataset):
     def fetch_raw(self, idx: jax.Array) -> tuple[jax.Array, jax.Array]:
         img = jnp.take(self.images, idx, axis=0)
         if self.packed_shape is not None:
-            # Explicit little-endian shift/mask unpack (byte-identical to
-            # bitcast_convert_type, pinned in test_hf_ingestion): TPU has
-            # no byte-addressed bitcast, so XLA lowered the bitcast form
-            # through a fully materialized u32 per-BYTE intermediate — 4x
-            # the unpacked bytes of HBM (200 MB per tin_loc episode
-            # boundary, the largest op in its reset profile). The shift
-            # form reads the gathered words 4x and writes u8 once.
-            u8 = jnp.stack(
-                [
-                    (img >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)
-                    for i in range(4)
-                ],
-                axis=-1,
-            ).astype(jnp.uint8)
-            img = u8.reshape(jnp.shape(idx) + self.packed_shape)
+            img = unpack_rows(img, self.packed_shape)
         label = jnp.take(self.labels, idx, axis=0).astype(jnp.int32)
         return img, label
+
+    def fetch_stored(self, idx: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Gather rows in the bank's STORAGE form — packed int32 words for
+        packed banks (no unpack), the image array otherwise. The packed-image
+        env state carries exactly this leaf: flat (R,) int32 rows tile HBM
+        with zero padding and relayout through scan carries for free, where
+        the unpacked 4D u8 batch paid ~5 relayout copies of itself per
+        episode boundary (PERF.md round 5)."""
+        img = jnp.take(self.images, idx, axis=0)
+        label = jnp.take(self.labels, idx, axis=0).astype(jnp.int32)
+        return img, label
+
+    def fetch_label(self, idx: jax.Array) -> jax.Array:
+        return jnp.take(self.labels, idx, axis=0).astype(jnp.int32)
+
+    @property
+    def stored_packed_shape(self) -> tuple | None:
+        return self.packed_shape
 
     @staticmethod
     def from_numpy(images: np.ndarray, labels: np.ndarray, num_classes: int) -> "BankImageDataset":

@@ -14,8 +14,9 @@ Key semantics preserved exactly:
 
 TPU-first differences: the per-image scipy interpolator loop is replaced by
 the separable-bilinear GEMM kernel in apx.ops.glimpse; the dataset is an
-HBM-resident bank; the current image is carried in env state so the per-step
-path is pure compute with no gathers.
+HBM-resident bank; the current image is carried in env state — in the bank's
+PACKED storage form for packed banks (see ImagePerceptionParams.image_storage)
+— so the per-step path is pure compute with no gathers.
 """
 
 from __future__ import annotations
@@ -66,6 +67,24 @@ class ImagePerceptionParams(struct.PyTreeNode):
     # (3 passes, ~4e-5 obs error), "highest" (6 passes, exact-f32 — use for
     # cross-backend parity work). No-op on CPU. See apx.ops.glimpse.
     glimpse_precision: str = struct.field(pytree_node=False, default="default")
+    # How the current episode's image lives in env state. All three modes
+    # are bitwise-equivalent (same trajectories); "auto" resolves to
+    # "array", the measured winner of the round-5 state-layout A/B
+    # (TinyImageNetLoc N=4096, same process, interleaved:
+    # array 7.35/7.35M, packed 1.98/1.98M, gather 1.97/1.97M env-steps/s):
+    #   "array": the unpacked (H, W, C) image in the bank's logical dtype.
+    #     The episode boundary pays the carry copies of the 4D u8 batch,
+    #     but the steady-state glimpse reads it with zero per-step work.
+    #   "packed": the bank's packed (R,) int32 row verbatim, unpacked at
+    #     glimpse time. Kills the boundary unpack, but the per-step
+    #     shift/mask + reshape runs every step and measured 3.7x slower
+    #     end-to-end — episode-amortized work moved into the hot loop.
+    #   "gather": state carries NO image; every glimpse re-gathers the row
+    #     from the HBM bank via state.data_index (the VERDICT-r4 "bank
+    #     indices in state" layout). Same 3.7x loss: per-step gathers
+    #     serialize against the glimpse GEMM — the same verdict as every
+    #     in-pipeline gather in PERF.md.
+    image_storage: str = struct.field(pytree_node=False, default="auto")
     # Render-only knobs (ImagePerceptionConfig defaults, module.py:27-29).
     display_visitation: bool = struct.field(pytree_node=False, default=True)
     render_unvisited_opacity: float = struct.field(pytree_node=False, default=0.0)
@@ -73,7 +92,11 @@ class ImagePerceptionParams(struct.PyTreeNode):
 
 
 class ImagePerceptionState(struct.PyTreeNode):
-    image: jax.Array  # (H, W, C) f32 — current episode's image
+    # Current episode's image in the form selected by params.image_storage:
+    # (R,) int32 packed row ("packed"), (H, W, C) u8/f32 ("array"), or a
+    # (0,) placeholder ("gather" — read through data_index instead). Use
+    # ImagePerceptionEngine.image_raw to get the logical (H, W, C) image.
+    image: jax.Array
     label: jax.Array  # () int32
     data_index: jax.Array  # () int32
     pos: jax.Array  # (2,) f32, normalized (x, y)
@@ -106,10 +129,61 @@ class ImagePerceptionEngine:
         return Box(low=-1.0, high=1.0, shape=(2,))
 
     @staticmethod
+    def storage(params: ImagePerceptionParams) -> str:
+        """Resolved image_storage mode ("packed" / "array" / "gather")."""
+        s = params.image_storage
+        if s == "auto":
+            return "array"  # the measured A/B winner (see the param docs)
+        if s not in ("packed", "array", "gather", "flat"):
+            raise ValueError(
+                f"unknown image_storage {s!r}; "
+                "expected 'auto', 'packed', 'array', 'flat' or 'gather'"
+            )
+        if s == "packed" and getattr(params.dataset, "stored_packed_shape", None) is None:
+            raise ValueError("image_storage='packed' requires an int32-packed bank")
+        return s
+
+    @staticmethod
+    def fetch_state_image(
+        idx: jax.Array, params: ImagePerceptionParams
+    ) -> tuple[jax.Array, jax.Array]:
+        """(image-state leaf, label) for a dataset index, in the form the
+        resolved storage mode carries."""
+        mode = ImagePerceptionEngine.storage(params)
+        if mode == "gather":
+            return jnp.zeros((0,), jnp.uint8), params.dataset.fetch_label(idx)
+        if mode == "packed":
+            return params.dataset.fetch_stored(idx)
+        img, label = params.dataset.fetch_raw(idx)
+        if mode == "flat":
+            img = img.reshape(img.shape[: img.ndim - 3] + (-1,))
+        return img, label
+
+    @staticmethod
+    def image_raw(
+        state: ImagePerceptionState, params: ImagePerceptionParams
+    ) -> jax.Array:
+        """The logical (..., H, W, C) image in the bank's logical dtype,
+        whatever the storage mode (leading dims pass through, so batched
+        states work too — used by render and tests)."""
+        from ..data.dataset import unpack_rows
+
+        mode = ImagePerceptionEngine.storage(params)
+        if mode == "gather":
+            img, _ = params.dataset.fetch_raw(state.data_index)
+            return img
+        if mode == "packed":
+            return unpack_rows(state.image, params.dataset.stored_packed_shape)
+        if mode == "flat":
+            shape = tuple(params.dataset.image_shape)
+            return state.image.reshape(state.image.shape[:-1] + shape)
+        return state.image
+
+    @staticmethod
     def reset(key: jax.Array, params: ImagePerceptionParams) -> ImagePerceptionState:
         k_idx, k_inv, k_pos = jax.random.split(key, 3)
         idx = jax.random.randint(k_idx, (), 0, params.dataset.length, dtype=jnp.int32)
-        image, label = params.dataset.fetch_raw(idx)
+        image, label = ImagePerceptionEngine.fetch_state_image(idx, params)
         if params.randomly_invert_labels:
             inverted = jax.random.randint(k_inv, (), 0, 2) == 1
             label = jnp.where(
@@ -136,9 +210,11 @@ class ImagePerceptionEngine:
         label_inverted: jax.Array,
     ) -> ImagePerceptionState:
         """Build a reset state from host-provided RNG draws (compat/parity
-        mode reproduces the reference's NumPy PCG64 draw sequence)."""
+        mode reproduces the reference's NumPy PCG64 draw sequence). ``image``
+        must already be the state-form leaf for the caller's storage mode
+        (use fetch_state_image)."""
         return ImagePerceptionState(
-            image=image,  # bank dtype (uint8 stays uint8 in HBM)
+            image=image,
             label=label.astype(jnp.int32),
             data_index=data_index.astype(jnp.int32),
             pos=pos.astype(jnp.float32),
@@ -165,7 +241,7 @@ class ImagePerceptionEngine:
         state: ImagePerceptionState, pos: jax.Array, params: ImagePerceptionParams
     ) -> jax.Array:
         return extract_glimpse(
-            state.image,
+            ImagePerceptionEngine.image_raw(state, params),
             pos,
             params.sensor_size,
             params.sensor_scale,
@@ -279,7 +355,8 @@ class ImagePerceptionEngine:
         conventions)."""
         from ..ops.glimpse import PRECISIONS, interp_weights, sensor_pos_lim_pixels
 
-        h, w, ch = state.image.shape
+        image = ImagePerceptionEngine.image_raw(state, params)
+        h, w, ch = image.shape
         s0, s1 = params.sensor_size
         xs, ys = ImagePerceptionEngine.candidate_axes(params)
         lim = sensor_pos_lim_pixels((h, w), params.sensor_size, params.sensor_scale)
@@ -295,8 +372,8 @@ class ImagePerceptionEngine:
         cols = x_pix[:, None] + off1[None, :]  # (c0, s1)
         w_rows = jax.vmap(lambda r: interp_weights(r, h))(rows)  # (c1, s0, H)
         w_cols = jax.vmap(lambda c: interp_weights(c, w))(cols)  # (c0, s1, W)
-        img_f = state.image.astype(jnp.float32)
-        if state.image.dtype == jnp.uint8:
+        img_f = image.astype(jnp.float32)
+        if image.dtype == jnp.uint8:
             img_f = img_f / 255.0
         prec = PRECISIONS[params.glimpse_precision]
         tmp = jax.vmap(

@@ -385,13 +385,25 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
                 state, state.pos, state.pos + dirs, params, params.ray_pad,
                 typed=typed, window=window,
             )
-        obs = {
+        # The dynamic-map channel is a DERIVED obs entry (see
+        # obs_derived_from_state): the vector layer appends it once per
+        # step from the post-merge state, outside the autoreset cond.
+        return {
             "lidar": jnp.clip(dist / params.lidar_range, -1.0, 1.0),
             "odometry": (state.pos - state.initial_pos) / self._map_size(params),
         }
-        if not params.static_map:
-            obs["map"] = state.occ[..., None].astype(jnp.float32) / 255.0
-        return obs
+
+    def obs_derived_from_state(self, state, params) -> dict[str, jax.Array]:
+        """obs["map"] = occ.astype(f32)/255 — the reference divides the
+        *boolean* cast by 255, so values are {0, 1/255}
+        (lidar_localization2d.py:299). Pure elementwise in state.occ, so
+        computing it from the merged state is bitwise-identical to the
+        per-branch form while paying the (N, H, W, 1) f32 write once
+        instead of twice-plus-a-select (~52 us -> ~21 us of a ~123 us step
+        at N=4096; round-5 profile + A/B in PERF.md)."""
+        if params.static_map:
+            return {}
+        return {"map": state.occ[..., None].astype(jnp.float32) / 255.0}
 
     def _info(self, state, params) -> dict[str, jax.Array]:
         # The reference reports this only from reset()/its vector-env info

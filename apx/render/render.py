@@ -384,8 +384,10 @@ def render_env(base_env, state, params, tracker: RenderTracker | None = None):
 
     s = unwrap_state(state)
 
+    from ..envs.image_perception import ImagePerceptionEngine
+
     if isinstance(base_env, ImageClassificationEnv):
-        img = np.asarray(s.image)
+        img = np.asarray(ImagePerceptionEngine.image_raw(s, params))
         pos = np.asarray(s.pos)
         if img.ndim == 4:
             img, pos = img[0], pos[0]
@@ -398,7 +400,7 @@ def render_env(base_env, state, params, tracker: RenderTracker | None = None):
             unvisited_opacity=params.render_unvisited_opacity,
         )
     if isinstance(base_env, ImageLocalizationEnv):
-        img = np.asarray(s.perception.image)
+        img = np.asarray(ImagePerceptionEngine.image_raw(s.perception, params))
         pos = np.asarray(s.perception.pos)
         target = np.asarray(s.target)
         if img.ndim == 4:

@@ -66,6 +66,42 @@ def summarize(trace: dict, device_only: bool = True):
     ]
 
 
+def device_busy_us(trace: dict) -> float:
+    """Total device-busy microseconds in the trace: the summed span durations
+    of the device process's "XLA Modules" lane. The "XLA Ops" lane NESTS
+    (while/conditional ops span their children in the same lane), so summing
+    it double-counts every loop body; module executions are disjoint
+    top-level spans, and on TPU the device is busy for a module's whole span
+    (in-module bubbles are stalls, not idle). Fallback when no lane is named
+    like "modules": the smallest nonzero lane sum (nesting only inflates).
+    Feeds bench.py's device_busy_us_per_step roofline field."""
+    events = trace.get("traceEvents", [])
+    proc_names: dict = {}
+    thread_names: dict = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            proc_names[e["pid"]] = e["args"].get("name", str(e["pid"]))
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            thread_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    lanes: collections.Counter = collections.Counter()
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if "/device:" not in proc_names.get(e["pid"], str(e["pid"])):
+            continue
+        lanes[(e["pid"], e.get("tid"))] += e.get("dur", 0)
+    if not lanes:
+        raise ValueError("no device lanes in trace")
+    module_lanes = {
+        k: v
+        for k, v in lanes.items()
+        if "module" in thread_names.get(k, "").lower()
+    }
+    if module_lanes:
+        return float(max(module_lanes.values()))
+    return float(min(v for v in lanes.values() if v > 0))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("path", help="profile dir or trace.json(.gz)")

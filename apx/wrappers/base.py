@@ -55,6 +55,14 @@ class APWrapper(APEnv):
         compat layer to rebuild wrapped states from host-drawn resets)."""
         return obs, state, info
 
+    def obs_derived_from_state(self, state, params):
+        """Delegate derived obs entries to the inner env. The default passes
+        the state through unchanged (most wrappers keep the inner state
+        bare); wrappers that nest it (TimeLimit) override and unwrap ONE
+        level — a blanket getattr(state, "inner") here would double-unwrap
+        when a bare-state wrapper sits above a nesting one."""
+        return self.env.obs_derived_from_state(state, params)
+
     def prediction_target_on_reset(self, old_state, new_state, params):
         return self.env.prediction_target_on_reset(old_state, new_state, params)
 

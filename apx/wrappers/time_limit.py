@@ -110,3 +110,6 @@ class TimeLimit(APWrapper):
         return self.env.prediction_target_on_reset(
             old_state.inner, new_state.inner, params
         )
+
+    def obs_derived_from_state(self, state, params):
+        return self.env.obs_derived_from_state(state.inner, params)

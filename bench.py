@@ -33,6 +33,12 @@ import jax.numpy as jnp
 # BENCH history. Override with APX_BENCH_INIT_TIMEOUT (seconds).
 _INIT_TIMEOUT_S = float(os.environ.get("APX_BENCH_INIT_TIMEOUT", "180"))
 
+# Assumed peak HBM bandwidth for the %-of-roofline fields (GB/s). 819 is the
+# published TPU v5e figure; override for other chips. The roofline fields
+# exist so cross-round records can be judged against HARDWARE limits, not
+# only against the reference baseline (beaten ~4 orders of magnitude ago).
+HBM_GBPS = float(os.environ.get("APX_HBM_GBPS", "819"))
+
 
 def _backend_failure_record(phase: str, error: str) -> dict:
     return {
@@ -93,7 +99,7 @@ def init_backend_guarded(
     return None
 
 
-def bench_env(venv, params, num_steps: int, key) -> float:
+def bench_env(venv, params, num_steps: int, key, stats: dict | None = None) -> float:
     """Returns env-steps/s of a jitted scan rollout with on-device random
     actions (no host transfers in the timed region).
 
@@ -127,9 +133,16 @@ def bench_env(venv, params, num_steps: int, key) -> float:
         pred = jax.random.normal(kp, (n, *pred_space.shape), dtype=jnp.float32)
         # Fold a (negligible) observation-dependent term into the action so
         # the observation computation is provably LIVE — XLA must not be
-        # able to dead-code the obs path out of the timed loop.
+        # able to dead-code the obs path out of the timed loop. One element
+        # per leaf, NOT a full reduce: the round-4 profile showed a
+        # whole-obs mean costing ~50 us/step on LIDAR (~29% of the step) —
+        # measurement apparatus charged to the env. The full obs tensors
+        # stay live regardless: obs is a scan carry leaf and the rollout
+        # returns the final obs, so every step's obs must be materialized
+        # (fixed while-loop signature); the element probe preserves the
+        # action's data dependence on them at ~zero cost.
         probe = sum(
-            jnp.mean(leaf.astype(jnp.float32))
+            jnp.reshape(leaf, (-1,))[0].astype(jnp.float32)
             for leaf in jax.tree_util.tree_leaves(obs)
         ) * 1e-12
         return {"action": jnp.clip(act + probe, -1.0, 1.0), "prediction": pred}
@@ -202,6 +215,39 @@ def bench_env(venv, params, num_steps: int, key) -> float:
     obs_f, state_f, rsum = run(bk, state_w, obs_w, params)
     float(rsum)  # completion barrier (see above)
     dt = time.perf_counter() - t0
+    if stats is not None:
+        # Roofline-grade fields (VERDICT r4 #2): obs bytes per vector step
+        # (the env contract's irreducible HBM write) and device-busy time
+        # from a profiled re-run of the SAME compiled function — so the
+        # recorded number separates the env's device cost from relay
+        # dispatch/fetch overhead, and hardware headroom is machine-readable
+        # next to env-steps/s.
+        stats["obs_bytes_per_step"] = int(
+            sum(
+                l.size * l.dtype.itemsize
+                for l in jax.tree_util.tree_leaves(obs_f)
+            )
+        )
+        try:
+            import tempfile
+
+            from apx.tools.parse_trace import device_busy_us, load_trace
+
+            pk = jax.random.fold_in(bk, 1)
+            with tempfile.TemporaryDirectory() as td:
+                with jax.profiler.trace(td):
+                    _, _, rp = run(pk, state_f, obs_f, params)
+                    float(rp)
+                busy = device_busy_us(load_trace(td))
+            stats["device_busy_us_per_step"] = round(busy / num_steps, 2)
+            roofline_us = stats["obs_bytes_per_step"] / (HBM_GBPS * 1e3)
+            stats["obs_hbm_roofline_us_per_step"] = round(roofline_us, 2)
+            stats["pct_of_obs_hbm_roofline"] = round(
+                100.0 * roofline_us / (busy / num_steps), 1
+            )
+            stats["assumed_hbm_gbps"] = HBM_GBPS
+        except Exception as e:  # noqa: BLE001 — fields are best-effort
+            stats["roofline_error"] = str(e)[:200]
     return n * num_steps / dt
 
 
@@ -358,6 +404,23 @@ COMPAT_BASELINES = {
     "lidar_rooms_static": 979.0,
     "lidar_maze": 274.0,
 }
+
+
+# vs_baseline has two denominator semantics (ADVICE r4 finding): the LIDAR
+# family's device rows divide by the BASELINE.json 1M-aggregate north-star
+# (no reference CPU number exists — shapely is absent in-container); every
+# other device row and all compat rows divide by the reference's own
+# measured container-CPU throughput. baseline_kind makes the denominator
+# machine-readable per record so downstream tooling never compares the two.
+BASELINE_KINDS = {
+    "lidar_rooms": "north_star_1m_aggregate",
+    "lidar_rooms_static": "north_star_1m_aggregate",
+    "lidar_maze": "north_star_1m_aggregate",
+}
+
+
+def baseline_kind(name: str) -> str:
+    return BASELINE_KINDS.get(name, "reference_cpu_measured")
 
 
 def bench_compat(env_id: str, num_envs: int, num_steps: int) -> float:
@@ -661,6 +724,7 @@ def main():
                         "value": round(sps, 1),
                         "unit": "env-steps/s",
                         "vs_baseline": round(sps / baseline, 3),
+                        "baseline_kind": baseline_kind(args.env),
                         "devices": ndev,
                         "processes": jax.process_count(),
                         "per_device": round(sps / ndev, 1),
@@ -695,6 +759,7 @@ def main():
                     "device_kind": fp["device_kind"],
                 }
                 rec["vs_baseline"] = round(rec["value"] / baseline, 3)
+                rec["baseline_kind"] = baseline_kind(name)
                 if args.glimpse_precision:
                     rec["glimpse_precision"] = args.glimpse_precision
                 print(json.dumps(rec), flush=True)
@@ -715,10 +780,11 @@ def main():
                     bank_points = BANKED[name]
                 else:
                     bank_points = args.bank_points
+            stats: dict = {}
             try:
                 venv, params, baseline = _make(name, num_envs, bank_points)
                 params = _apply_overrides(params)
-                sps = bench_env(venv, params, steps, k)
+                sps = bench_env(venv, params, steps, k, stats=stats)
             except Exception as e:  # noqa: BLE001 — keep the capture going
                 rec = {"metric": f"{name}_env_steps_per_s", "error": str(e)[:300],
                        "num_envs": num_envs, **extra}
@@ -730,6 +796,8 @@ def main():
                 "value": round(sps, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(sps / baseline, 3),
+                "baseline_kind": baseline_kind(name),
+                **stats,
                 "num_envs": num_envs,
                 "device_kind": fp["device_kind"],
                 **({"key_impl": key_impl} if key_impl else {}),
@@ -762,6 +830,7 @@ def main():
                     "value": round(sps, 1),
                     "unit": "env-steps/s",
                     "vs_baseline": round(sps / COMPAT_BASELINES[name], 3),
+                    "baseline_kind": "reference_cpu_measured",
                     "num_envs": args.num_envs,
                     "device_kind": fp["device_kind"],
                     "segment": "compat",
@@ -803,6 +872,7 @@ def main():
                 "value": round(sps, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(sps / baseline, 3),
+                "baseline_kind": "reference_cpu_measured",
                 "num_envs": args.num_envs,
                 "device_kind": fp["device_kind"],
             }
@@ -833,18 +903,21 @@ def main():
             name = "circle_square"
             venv, params, baseline = _make(name, args.num_envs, None)
         params = _apply_overrides(params)
+        stats: dict = {}
         if args.profile:
             with jax.profiler.trace(args.profile):
                 sps = bench_env(venv, params, args.steps, key)
         else:
-            sps = bench_env(venv, params, args.steps, key)
+            sps = bench_env(venv, params, args.steps, key, stats=stats)
         rec = {
             "metric": f"{name}_env_steps_per_s",
             "value": round(sps, 1),
             "unit": "env-steps/s",
             "vs_baseline": round(sps / baseline, 3),
+            "baseline_kind": baseline_kind(name),
             "num_envs": args.num_envs,
             "device_kind": fp["device_kind"],
+            **stats,
         }
         if name in BANKED:
             rec["bank_points"] = bank_points or "default"

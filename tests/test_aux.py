@@ -429,6 +429,57 @@ def test_parse_trace_tool(tmp_path):
     assert any(r[1] == "python" for r in rows_all)
 
 
+def test_device_busy_us_prefers_module_lane():
+    """device_busy_us must sum the XLA Modules lane: the Ops lane NESTS
+    (while ops span their children), so its sum double-counts loop bodies
+    (observed 115 ms ops vs 59 ms modules on a real LIDAR trace)."""
+    from apx.tools.parse_trace import device_busy_us
+
+    trace = {
+        "traceEvents": [
+            {"ph": "M", "pid": 3, "name": "process_name",
+             "args": {"name": "/device:TPU:0"}},
+            {"ph": "M", "pid": 3, "tid": 2, "name": "thread_name",
+             "args": {"name": "XLA Modules"}},
+            {"ph": "M", "pid": 3, "tid": 3, "name": "thread_name",
+             "args": {"name": "XLA Ops"}},
+            # One module span; its ops lane nests a while around a fusion.
+            {"ph": "X", "pid": 3, "tid": 2, "name": "jit_run", "dur": 100},
+            {"ph": "X", "pid": 3, "tid": 3, "name": "while.1", "dur": 95},
+            {"ph": "X", "pid": 3, "tid": 3, "name": "fusion.1", "dur": 90},
+        ]
+    }
+    assert device_busy_us(trace) == 100.0
+    # Fallback without thread names: the smallest nonzero lane.
+    trace["traceEvents"] = [e for e in trace["traceEvents"]
+                            if e.get("name") != "thread_name"]
+    assert device_busy_us(trace) == 100.0
+
+
+def test_compat_key_impl_opt_in():
+    """key_impl='rbg' is the documented hardware-RNG opt-in for
+    rng='native' (PERF.md: +5% lidar/circle_square, +23% light_dark on
+    v5e); rng='reference' parity mode must refuse it (the parity chain
+    pins the reference's NumPy draws + threefry internals)."""
+    import pytest
+
+    import apx.compat as apc
+
+    env = apc.make_vec(
+        "LightDark-v0", num_envs=4, rng="native", key_impl="rbg",
+        log_wrapper=False,
+    )
+    obs, _ = env.reset(seed=3)
+    a = {"action": np.zeros((4, 2), np.float32),
+         "prediction": np.zeros((4, 2), np.float32)}
+    obs, r, te, tr, info = env.step(a)
+    assert np.isfinite(np.asarray(obs["noisy_position"])).all()
+    assert np.isfinite(r).all()
+    with pytest.raises(ValueError, match="rng='native'"):
+        apc.make_vec("LightDark-v0", num_envs=2, rng="reference",
+                     key_impl="rbg", log_wrapper=False)
+
+
 def test_bench_deep_rejects_conflicting_flags():
     """--deep is the fixed one-process round capture; flags that would alter
     or subset it must be refused loudly, not silently ignored (a capture

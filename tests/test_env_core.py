@@ -330,3 +330,81 @@ def test_segmented_scan_splice_pattern():
         np.asarray(carries), [0, 1, 2, 20, 21, 22, 220, 221]
     )
     assert int(carry_f) == 222
+
+
+def test_image_storage_modes_bitwise_equal():
+    """All image_storage layouts are bitwise-equivalent views of the same
+    episode (round-5 A/B: "array" is 3.5-4.8x faster than packed/flat/
+    gather on TPU — those pay a per-step relayout/gather; the carry of the
+    4D u8 batch is the measured optimum). The modes stay selectable and
+    must stay trajectory-identical."""
+    from apx.core.env import rollout_episodic
+    from apx.data.huggingface import load_hf_image_bank
+    from apx.envs import ImageLocalizationEnv
+    from apx.envs.image_perception import ImagePerceptionEngine
+
+    env = ImageLocalizationEnv(
+        dataset=load_hf_image_bank("mnist", channels=1, num_points=64)
+    )
+    key = jax.random.key(0)
+
+    def pol(k, obs):
+        return {
+            "action": jax.random.uniform(k, (8, 2), minval=-1, maxval=1),
+            "prediction": jnp.zeros((8, 2)),
+        }
+
+    outs = {}
+    for mode in ("array", "packed", "flat", "gather"):
+        params = env.default_params(image_storage=mode, step_limit=4)
+        assert ImagePerceptionEngine.storage(params) == mode
+        venv = vmap_vector_env(env, 8, AutoResetMode.LOCKSTEP)
+        obs_f, state_f, traj = jax.jit(
+            lambda key, p: rollout_episodic(venv, p, pol, key, 11, 4)
+        )(key, params)
+        img = ImagePerceptionEngine.image_raw(state_f.inner.perception, params)
+        assert img.shape == (8, 28, 28, 1) and img.dtype == jnp.uint8
+        outs[mode] = (obs_f, traj)
+    ref = jax.tree_util.tree_leaves(outs["array"])
+    for mode in ("packed", "flat", "gather"):
+        for a, b in zip(ref, jax.tree_util.tree_leaves(outs[mode])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_derived_obs_merged_outside_cond():
+    """LIDAR's map channel is a derived obs entry (computed once from the
+    post-merge state, outside the autoreset cond). It must appear in every
+    obs surface — reset, step, boundary — with the reference's {0, 1/255}
+    values, and static_map envs must derive nothing."""
+    from apx.data.floor_map import make_rooms_bank
+    from apx.envs.lidar_localization import LIDARLocalizationEnv
+    from apx.wrappers import TimeLimit
+
+    env = TimeLimit(
+        LIDARLocalizationEnv(map_bank=make_rooms_bank(num_maps=4)),
+        max_episode_steps=5,
+        issue_termination=True,
+    )
+    params = env.default_params()
+    venv = vmap_vector_env(env, 8, AutoResetMode.NEXT_STEP)
+    key = jax.random.key(1)
+    obs, state, _ = jax.jit(venv.reset)(key, params)
+    assert obs["map"].shape == (8, 32, 32, 1)
+    occ = np.asarray(state.inner.inner.occ)
+    np.testing.assert_array_equal(
+        np.asarray(obs["map"])[..., 0], occ.astype(np.float32) / 255.0
+    )
+    act = {"action": jnp.zeros((8, 2)), "prediction": jnp.zeros((8, 2))}
+    step = jax.jit(lambda k, s: venv.step(k, s, act, params))
+    for i in range(7):  # crosses the TimeLimit reset at t=5
+        key, k = jax.random.split(key)
+        obs, state, *_ = step(k, state)
+        occ = np.asarray(state.inner.inner.occ)
+        np.testing.assert_array_equal(
+            np.asarray(obs["map"])[..., 0], occ.astype(np.float32) / 255.0
+        )
+    # static_map: no derived entries, no map key anywhere.
+    sp = env.default_params(static_map=True)
+    assert env.obs_derived_from_state(state.inner, sp) == {}
+    obs_s, _, _ = jax.jit(lambda k: venv.reset(k, sp))(key)
+    assert "map" not in obs_s
