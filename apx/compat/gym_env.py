@@ -171,6 +171,17 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
         n = num_envs
         params = jax.device_put(params)
 
+        # Wire codec: loss-free re-encoding of obs leaves for the
+        # device->host transfer (apx/compat/wire.py — e.g. the LIDAR map
+        # channel crosses as packed bits, 32x smaller). encode runs inside
+        # every jit below; _wire_decode inverts it bitwise on the host side
+        # of step()/reset().
+        from .wire import wire_codec_for
+
+        _codec = wire_codec_for(self.base, self.params)
+        _enc = _codec[0] if _codec else (lambda o: o)
+        self._wire_decode = _codec[1] if _codec else None
+
         def merge_derived(obs, state, params):
             # Derived obs entries (APEnv.obs_derived_from_state — e.g.
             # LIDAR's map channel) are omitted from raw step/reset obs;
@@ -185,10 +196,11 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
             obs, state, info = jax.vmap(env.reset_env, in_axes=(0, None))(
                 keys, params
             )
-            return merge_derived(obs, state, params), state, info
+            return _enc(merge_derived(obs, state, params)), state, info
 
         def jit_reset_draws(draws, params):
-            return reset_from_draws(env, draws, params)
+            obs, state, info = reset_from_draws(env, draws, params)
+            return _enc(obs), state, info
 
         def jit_raw_step(key, state, action, prediction, step_draws, params):
             keys = jax.random.split(key, n)
@@ -196,7 +208,7 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
                 keys, state, action, prediction, params
             )
             r = apply_step_draws(env, r, step_draws, params)
-            return r.replace(obs=merge_derived(r.obs, r.state, params))
+            return r.replace(obs=_enc(merge_derived(r.obs, r.state, params)))
 
         def jit_target_on_reset(old_state, new_state, params):
             return jax.vmap(
@@ -208,7 +220,7 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
             obs, state, info = jax.vmap(env.autoreset_env, in_axes=(0, 0, None))(
                 keys, old_state, params
             )
-            return merge_derived(obs, state, params), state, info
+            return _enc(merge_derived(obs, state, params)), state, info
 
         jit_reset_native = jax.jit(jit_reset_native)
         jit_reset_draws = jax.jit(jit_reset_draws)
@@ -302,6 +314,8 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
         self._state = state
         self._prev_done = np.zeros(self.num_envs, dtype=bool)
         obs_np = _np_tree(obs)
+        if self._wire_decode is not None:
+            obs_np = self._wire_decode(obs_np)
         from .builders import unwrap_state
         from .render_hooks import update_tracker_reset
 
@@ -401,10 +415,16 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
             self._prev_done = np.zeros(self.num_envs, dtype=bool)
             zeros = np.zeros(self.num_envs, dtype=np.float64)
             falses = np.zeros(self.num_envs, dtype=bool)
+            # One device->host transfer for everything the host consumes
+            # (each separate fetch pays a full round trip on relay-attached
+            # chips; PERF.md round-5 compat decomposition).
+            obs, info, target = jax.device_get((obs, info, target))
             reward, info = self._compose(
                 pred, zeros, falses, falses, info, target, None
             )
             obs_np = _np_tree(obs)
+            if self._wire_decode is not None:
+                obs_np = self._wire_decode(obs_np)
             from .builders import unwrap_state
             from .render_hooks import update_tracker_step
 
@@ -465,15 +485,28 @@ class GymVectorAPEnv(gym.vector.VectorEnv):
 
         prev_pos = None
         if hasattr(unwrap_state(self._state), "pos"):
-            prev_pos = np.asarray(unwrap_state(self._state).pos)[0]
+            p = unwrap_state(self._state).pos
+            # Device-side env-0 slice: the tracker needs one env, not the
+            # (N, 2) batch (relay transfers are round-trip-priced).
+            prev_pos = np.asarray(p[0]) if isinstance(p, jax.Array) else (
+                np.asarray(p)[0]
+            )
         self._state = state
-        term_np = np.asarray(term)
-        trunc_np = np.asarray(trunc)
+        # ONE device->host transfer for the whole host-visible step output:
+        # obs (the big payload), flags, base reward, loss target and info
+        # cross together instead of as ~6 individually round-trip-priced
+        # fetches (PERF.md round-5 compat decomposition: the separate
+        # fetches were ~10% of the step on a relay-attached chip).
+        obs, base_reward, term_np, trunc_np, info, target = jax.device_get(
+            (obs, base_reward, term, trunc, info, target)
+        )
         self._prev_done = term_np | trunc_np
         reward, info = self._compose(
             pred, base_reward, term_np, trunc_np, info, target, reset_mask
         )
         obs_np = _np_tree(obs)
+        if self._wire_decode is not None:
+            obs_np = self._wire_decode(obs_np)
         from .render_hooks import update_tracker_step
 
         update_tracker_step(

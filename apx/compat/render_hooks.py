@@ -8,6 +8,7 @@ LIDAR's fog-of-war observation map (lidar_localization2d.py:238-261).
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import scipy.special
 
@@ -57,6 +58,12 @@ def update_tracker_reset(tracker: RenderTracker, base_env, params, obs0, state0)
 
 
 def _first(x):
+    if isinstance(x, jax.Array):
+        # Slice on DEVICE before converting: the tracker renders env 0
+        # only, and np.asarray(x)[0] would pull the whole batch across
+        # the wire (the (N,32,32) occupancy alone is ~4 MB/step through
+        # a relay-attached chip; PERF.md round 5 compat decomposition).
+        return np.asarray(x[0])
     a = np.asarray(x)
     return a[0]
 

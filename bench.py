@@ -746,6 +746,7 @@ def main():
         return params
 
     if args.ab_banks:
+        ab_records = []
         for name, real in sorted(BANKED.items()):
             for pts in (8192, real):
                 venv, params, baseline = _make(name, args.num_envs, pts)
@@ -762,7 +763,19 @@ def main():
                 rec["baseline_kind"] = baseline_kind(name)
                 if args.glimpse_precision:
                     rec["glimpse_precision"] = args.glimpse_precision
+                ab_records.append(rec)
                 print(json.dumps(rec), flush=True)
+        if args.emit:
+            doc = {
+                "fingerprint": fp,
+                "num_envs": args.num_envs,
+                "steps": args.steps,
+                "ab_banks": True,
+                "results": ab_records,
+            }
+            with open(args.emit, "w") as f:
+                json.dump(doc, f, indent=1)
+                f.write("\n")
         return
 
     if args.deep:

@@ -540,3 +540,27 @@ def test_parity_mode_pins_exact_glimpse_precision():
     assert e_ref.params.glimpse_precision == "highest"
     e_nat = apc.make("MNIST-v0", rng="native")
     assert e_nat.params.glimpse_precision == "default"
+
+
+def test_wire_codec_bitwise_roundtrip():
+    """The LIDAR map wire codec (apx/compat/wire.py) must invert bitwise:
+    decode(device_get(encode(obs))) == obs for the {0, 1/255} f32 contract
+    (lidar_localization2d.py:299), including a width that is not a
+    multiple of 8 (the padded lane must slice away exactly)."""
+    import jax.numpy as jnp
+
+    from apx.compat.wire import _lidar_map_codec
+
+    rng = np.random.default_rng(3)
+    for h, w in ((32, 32), (13, 11)):
+        enc, dec = _lidar_map_codec(h, w)
+        occ = rng.integers(0, 2, size=(5, h, w), dtype=np.uint8).astype(bool)
+        m = jnp.asarray(occ)[..., None].astype(jnp.float32) / 255.0
+        obs = {"map": m, "lidar": jnp.zeros((5, 8), jnp.float32)}
+        wire = enc(obs)
+        assert wire["map"].dtype == jnp.uint8
+        assert wire["map"].shape == (5, h, -(-w // 8))
+        out = dec({k: np.asarray(v) for k, v in wire.items()})
+        np.testing.assert_array_equal(out["map"], np.asarray(m))
+        assert out["map"].dtype == np.float32
+        np.testing.assert_array_equal(out["lidar"], np.zeros((5, 8)))
