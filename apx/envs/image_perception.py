@@ -67,6 +67,17 @@ class ImagePerceptionParams(struct.PyTreeNode):
     # (3 passes, ~4e-5 obs error), "highest" (6 passes, exact-f32 — use for
     # cross-backend parity work). No-op on CPU. See apx.ops.glimpse.
     glimpse_precision: str = struct.field(pytree_node=False, default="default")
+    # Row-band windowing of the per-step glimpse read ("off" | "rows" |
+    # "auto"): "rows" dynamic-slices the ((s0-1)*scale + 2)-row band before
+    # the row einsum — bitwise identical (only exact-0-weight terms are
+    # excluded; pinned in test_glimpse) and +33-76% on the ISOLATED op,
+    # but 2.4x SLOWER end-to-end in the env scan on every image geometry
+    # (tin_loc 9.53 -> 4.05M, mnist 30.6 -> 19.7M, cifar10 17.7 -> 10.6M
+    # env-steps/s; same process, interleaved): the per-env dynamic-slice
+    # gather on the scan-carried image batch serializes where the
+    # full-image einsum fuses. "auto" therefore resolves to "off"; "rows"
+    # stays as the committed A/B surface. PERF.md round 5.
+    glimpse_window: str = struct.field(pytree_node=False, default="auto")
     # How the current episode's image lives in env state. All three modes
     # are bitwise-equivalent (same trajectories); "auto" resolves to
     # "array", the measured winner of the round-5 state-layout A/B
@@ -237,6 +248,15 @@ class ImagePerceptionEngine:
         return state.replace(pos=pos, time=time), base_reward, terminated
 
     @staticmethod
+    def resolved_glimpse_window(params: ImagePerceptionParams) -> str:
+        """params.glimpse_window with "auto" resolved to the measured
+        winner: "off" on every geometry tested (the isolated-op win
+        reverses end-to-end; see the field comment / PERF.md round 5)."""
+        if params.glimpse_window != "auto":
+            return params.glimpse_window
+        return "off"
+
+    @staticmethod
     def get_glimpse(
         state: ImagePerceptionState, pos: jax.Array, params: ImagePerceptionParams
     ) -> jax.Array:
@@ -246,6 +266,7 @@ class ImagePerceptionEngine:
             params.sensor_size,
             params.sensor_scale,
             precision=params.glimpse_precision,
+            window=ImagePerceptionEngine.resolved_glimpse_window(params),
         )
 
     @staticmethod

@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "interp_weights",
@@ -94,7 +95,8 @@ PRECISIONS = {
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sensor_size", "sensor_scale", "precision")
+    jax.jit,
+    static_argnames=("sensor_size", "sensor_scale", "precision", "window"),
 )
 def extract_glimpse(
     image: jnp.ndarray,
@@ -102,6 +104,7 @@ def extract_glimpse(
     sensor_size: tuple[int, int],
     sensor_scale: float = 1.0,
     precision: str = "highest",
+    window: str = "off",
 ) -> jnp.ndarray:
     """Extract one (s0, s1, C) glimpse from an (H, W, C) image at normalized
     position (x, y). Pure function of its inputs; differentiable.
@@ -115,16 +118,37 @@ def extract_glimpse(
     +42% end-to-end on TinyImageNetLoc with 5.5e-3 max observation error
     (rewards never flow through glimpses — losses compare predictions to
     targets — so only the agent's input carries the noise). On CPU the
-    setting is a no-op (true f32 math everywhere)."""
+    setting is a no-op (true f32 math everywhere).
+
+    ``window="rows"`` dynamic-slices the ((s0-1)*scale + 2)-row band the
+    sensor touches before the row einsum. The excluded rows all carry hat
+    weight exactly 0.0 and f32 accumulation of exact zeros is exact, so
+    the output is BITWISE identical (pinned in test_glimpse, incl. edge
+    positions). Measured round 5 (PERF.md): +33-76% on the ISOLATED op
+    across MNIST/CIFAR10/TinyImageNet geometries, but 2.4x SLOWER
+    end-to-end inside the env scan on every one of them — the per-env
+    vmap(dynamic_slice) gather on the scan-carried image batch serializes
+    where the full-image einsum fuses, the usual in-pipeline-gather
+    verdict. Kept as an A/B surface; the env default resolves to "off".
+    A column window was also measured and loses even isolated (strided
+    gather)."""
     h, w, c = image.shape
     rows, cols = glimpse_coords(pos_norm, (h, w), sensor_size, sensor_scale)
-    w_rows = interp_weights(rows, h)  # (s0, H)
+    rows = jnp.clip(rows, 0.0, float(h - 1))
+    prec = PRECISIONS[precision]
+    if window == "rows":
+        rwin = min(h, int(np.ceil((sensor_size[0] - 1) * sensor_scale)) + 2)
+        r0 = jnp.clip(jnp.floor(jnp.min(rows)).astype(jnp.int32), 0, h - rwin)
+        image = jax.lax.dynamic_slice(image, (r0, 0, 0), (rwin, w, c))
+        w_rows = interp_weights(rows - r0.astype(jnp.float32), rwin)
+    else:
+        assert window == "off", window
+        w_rows = interp_weights(rows, h)  # (s0, H)
     w_cols = interp_weights(cols, w)  # (s1, W)
     # (s0, H) @ (H, W*C) -> (s0, W*C); then per-channel (s0, W) @ (W, s1).
     # uint8 banks stay uint8 in env state/HBM; the /255 conversion happens
     # here on the freshly-read tile (uint8 reads + convert measured FASTER
     # than reading a pre-converted f32 bank: 1.69 vs 1.97 ms/batch).
-    prec = PRECISIONS[precision]
     img_f = image.astype(jnp.float32)
     if image.dtype == jnp.uint8:
         img_f = img_f / 255.0
@@ -139,9 +163,10 @@ def extract_glimpse_batch(
     sensor_size: tuple[int, int],
     sensor_scale: float = 1.0,
     precision: str = "highest",
+    window: str = "off",
 ) -> jnp.ndarray:
     """(N, H, W, C) x (N, 2) -> (N, s0, s1, C), batched GEMMs on the MXU."""
     fn = lambda img, pos: extract_glimpse(
-        img, pos, sensor_size, sensor_scale, precision=precision
+        img, pos, sensor_size, sensor_scale, precision=precision, window=window
     )
     return jax.vmap(fn)(images, pos_norm)

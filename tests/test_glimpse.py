@@ -167,3 +167,35 @@ def test_lane_major_pallas_kernel_matches_gemm():
     ref = extract_glimpse_batch(imgs, pos, (5, 5), 1.0)
     got = glimpse_batch_lane_major(imgs, pos, (5, 5), 1.0, interpret=True)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-6)
+
+
+def test_row_window_bitwise_identical():
+    """window="rows" excludes only exact-0-weight hat terms, so it must be
+    BITWISE equal to the full einsum — random + edge positions, square and
+    non-square scaled sensors, both image dtypes. (The committed A/B: it
+    wins isolated but loses 2.4x end-to-end in the env scan; the env
+    default resolves to "off" — PERF.md round 5.)"""
+    import jax
+
+    rng = np.random.default_rng(11)
+    for shape, sensor, scale in (
+        ((64, 64, 3), (10, 10), 1.0),
+        ((28, 28, 1), (5, 5), 1.0),
+        ((33, 47, 3), (4, 7), 2.5),
+    ):
+        imgs = jnp.asarray(rng.integers(0, 256, (64, *shape), dtype=np.uint8))
+        pos = jnp.concatenate(
+            [
+                jax.random.uniform(
+                    jax.random.PRNGKey(12), (60, 2), minval=-1, maxval=1
+                ),
+                jnp.array([[1.0, 1.0], [-1.0, -1.0], [-1.0, 1.0], [0.0, 0.0]]),
+            ]
+        )
+        full = extract_glimpse_batch(imgs, pos, sensor, scale, window="off")
+        rows = extract_glimpse_batch(imgs, pos, sensor, scale, window="rows")
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(rows))
+        f32 = imgs.astype(jnp.float32) / 255.0
+        full = extract_glimpse_batch(f32, pos, sensor, scale, window="off")
+        rows = extract_glimpse_batch(f32, pos, sensor, scale, window="rows")
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(rows))
