@@ -433,7 +433,9 @@ def segmented_scan(inner_body, boundary_body, carry, keys, period, inner_unroll=
     Both bodies are ``(carry, key) -> (carry, out)`` with the same ``out``
     structure. A trailing partial segment runs without its boundary.
     Returns ``(carry, outs)`` with outs stacked over all ``len(keys)``
-    steps in order.
+    steps in order. ``keys`` may be any pytree of per-step arrays (all
+    leaves leading dim = num_steps) — e.g. bench.py passes
+    ``(step_keys, pre-drawn actions, pre-drawn predictions)``.
 
     ``inner_unroll`` is passed to the inner per-segment scan. Fully
     unrolling it (``inner_unroll=True``) removes the inner while loop, so
@@ -442,19 +444,21 @@ def segmented_scan(inner_body, boundary_body, carry, keys, period, inner_unroll=
     episode boundary — the crossings cost ~1.55 ms of relayout copies of
     the (4096, 64, 64, 3) u8 image batch per TinyImageNetLoc boundary
     (round-5 profile; the A/B is in PERF.md)."""
+    tmap = jax.tree_util.tree_map
     cycle = period + 1
-    num_steps = keys.shape[0]
+    num_steps = jax.tree_util.tree_leaves(keys)[0].shape[0]
     segments = num_steps // cycle
     leftover = num_steps - segments * cycle
 
     def segment(carry, seg_keys):
         carry, outs = jax.lax.scan(
-            inner_body, carry, seg_keys[:period], unroll=inner_unroll
+            inner_body,
+            carry,
+            tmap(lambda a: a[:period], seg_keys),
+            unroll=inner_unroll,
         )
-        carry, bout = boundary_body(carry, seg_keys[period])
-        outs = jax.tree_util.tree_map(
-            lambda a, b: jnp.concatenate([a, b[None]]), outs, bout
-        )
+        carry, bout = boundary_body(carry, tmap(lambda a: a[period], seg_keys))
+        outs = tmap(lambda a, b: jnp.concatenate([a, b[None]]), outs, bout)
         return carry, outs
 
     outs = None
@@ -462,14 +466,20 @@ def segmented_scan(inner_body, boundary_body, carry, keys, period, inner_unroll=
         carry, outs = jax.lax.scan(
             segment,
             carry,
-            keys[: segments * cycle].reshape((segments, cycle) + keys.shape[1:]),
+            tmap(
+                lambda a: a[: segments * cycle].reshape(
+                    (segments, cycle) + a.shape[1:]
+                ),
+                keys,
+            ),
         )
-        outs = jax.tree_util.tree_map(
-            lambda x: x.reshape((segments * cycle,) + x.shape[2:]), outs
-        )
+        outs = tmap(lambda x: x.reshape((segments * cycle,) + x.shape[2:]), outs)
     if leftover:
         carry, tail = jax.lax.scan(
-            inner_body, carry, keys[segments * cycle :], unroll=inner_unroll
+            inner_body,
+            carry,
+            tmap(lambda a: a[segments * cycle :], keys),
+            unroll=inner_unroll,
         )
         outs = (
             tail

@@ -99,20 +99,42 @@ def init_backend_guarded(
     return None
 
 
-def bench_env(venv, params, num_steps: int, key, stats: dict | None = None) -> float:
-    """Returns env-steps/s of a jitted scan rollout with on-device random
-    actions (no host transfers in the timed region).
+# Per-buffer cap for hoisting policy draws out of the scan (bytes). A
+# (num_steps, N, ...) pre-drawn buffer above this stays in-loop for that
+# LEAF only (each draw has its own key, so per-leaf hoisting is still
+# bit-identical): tin_loc at N=16384 would otherwise pre-draw a
+# (1024, 16384, 200) f32 prediction buffer — 13 GB.
+HOIST_BUDGET_BYTES = int(
+    os.environ.get("APX_BENCH_HOIST_BUDGET", 256 * 1024 * 1024)
+)
+
+
+def bench_rollout_fn(venv, params, num_steps: int, hoist_budget=None):
+    """(run, num_steps): the jitted bench rollout
+    ``run(key, state0, obs0, params) -> (obs_f, state_f, reward_sum)``.
 
     LOCKSTEP envs with a fixed episode length run the EPISODIC rollout
     (apx.core.env.rollout_episodic semantics: reset boundary hoisted out
     of the scan, cond-free inner steps) — trajectories are bitwise-equal
     in state/obs/dones to the plain scan (pinned in test_env_core), and
     the plain scan's lax.cond pays ~2 pass-through copies of the image
-    state EVERY step (PERF.md round 3)."""
+    state EVERY step (PERF.md round 3).
+
+    The random-policy draws are HOISTED out of the scan: each step's
+    action/prediction tensors are tiny (N x 2-ish), so drawing them
+    in-loop pays threefry's fixed per-op cost every step serially —
+    measured at ~20% of the whole LIDAR step (PERF.md round 5). One
+    batched draw over (num_steps, N, ...) outside the loop uses the SAME
+    per-step keys and shapes, so the trajectories are bit-identical
+    (pinned in test_aux); the scan reads back 64 KB/step of pre-drawn
+    randoms instead. Buffers above ``hoist_budget`` bytes keep that leaf's
+    draw in-loop (still bit-identical — each leaf has its own key)."""
     import dataclasses
 
     from apx.core.env import AutoResetMode
 
+    if hoist_budget is None:
+        hoist_budget = HOIST_BUDGET_BYTES
     n = venv.num_envs
     act_space = venv.env.inner_action_space(params)
     pred_space = venv.env.prediction_space(params)
@@ -125,12 +147,41 @@ def bench_env(venv, params, num_steps: int, key, stats: dict | None = None) -> f
         else None
     )
 
-    def policy(k, obs):
-        ka, kp = jax.random.split(k)
-        act = jax.random.uniform(
-            ka, (n, *act_space.shape), minval=-1.0, maxval=1.0, dtype=jnp.float32
+    inner_venv = (
+        dataclasses.replace(venv, autoreset=AutoResetMode.DISABLED)
+        if period
+        else venv
+    )
+    if period is not None:
+        # Each timed run chains the previous run's final state, so every
+        # run must END on an episode boundary or the next one starts
+        # mid-episode (DISABLED inner steps would then run terminated envs
+        # past step_limit — no longer the claimed LOCKSTEP semantics).
+        # Round the step count to whole (period + 1)-cycles.
+        cycle = period + 1
+        num_steps = max(cycle, (num_steps // cycle) * cycle)
+
+    def draw_act(ka):
+        return jax.random.uniform(
+            ka, (n, *act_space.shape), minval=-1.0, maxval=1.0,
+            dtype=jnp.float32,
         )
-        pred = jax.random.normal(kp, (n, *pred_space.shape), dtype=jnp.float32)
+
+    def draw_pred(kp):
+        return jax.random.normal(kp, (n, *pred_space.shape), dtype=jnp.float32)
+
+    def buf_bytes(space):
+        sz = 1
+        for d in space.shape:
+            sz *= d
+        return num_steps * n * max(sz, 1) * 4
+
+    hoist_act = buf_bytes(act_space) <= hoist_budget
+    hoist_pred = buf_bytes(pred_space) <= hoist_budget
+
+    def act_of(obs, act_x, pred_x):
+        act = act_x if hoist_act else draw_act(act_x)
+        pred = pred_x if hoist_pred else draw_pred(pred_x)
         # Fold a (negligible) observation-dependent term into the action so
         # the observation computation is provably LIVE — XLA must not be
         # able to dead-code the obs path out of the timed loop. One element
@@ -147,56 +198,64 @@ def bench_env(venv, params, num_steps: int, key, stats: dict | None = None) -> f
         ) * 1e-12
         return {"action": jnp.clip(act + probe, -1.0, 1.0), "prediction": pred}
 
-    inner_venv = (
-        dataclasses.replace(venv, autoreset=AutoResetMode.DISABLED)
-        if period
-        else venv
-    )
-    if period is not None:
-        # Each timed run chains the previous run's final state, so every
-        # run must END on an episode boundary or the next one starts
-        # mid-episode (DISABLED inner steps would then run terminated envs
-        # past step_limit — no longer the claimed LOCKSTEP semantics).
-        # Round the step count to whole (period + 1)-cycles.
-        cycle = period + 1
-        num_steps = max(cycle, (num_steps // cycle) * cycle)
-
     @jax.jit
     def run(key, state0, obs0, params):
         # params MUST be a jit argument, not a closure: closed-over arrays
         # become compile-time constants, and under the axon relay the whole
         # constant (e.g. a 1.17 GB dataset bank) is serialized into the
         # remote-compile payload — 30+ min of host CPU, then a broken pipe.
-        def body(carry, k):
+        keys = jax.random.split(key, num_steps)
+        # Identical key derivation to the in-loop form: per step,
+        # k -> (pk, sk); pk -> (ka, kp). vmap(split) produces the same
+        # bits as split inside the loop.
+        pk_sk = jax.vmap(jax.random.split)(keys)
+        ka_kp = jax.vmap(jax.random.split)(pk_sk[:, 0])
+        sks = pk_sk[:, 1]
+        act_xs = jax.vmap(draw_act)(ka_kp[:, 0]) if hoist_act else ka_kp[:, 0]
+        pred_xs = (
+            jax.vmap(draw_pred)(ka_kp[:, 1]) if hoist_pred else ka_kp[:, 1]
+        )
+        xs = (sks, act_xs, pred_xs)
+
+        def body(carry, x):
             obs, state = carry
-            pk, sk = jax.random.split(k)
-            act = policy(pk, obs)
+            sk, act_x, pred_x = x
+            act = act_of(obs, act_x, pred_x)
             obs2, state2, reward, term, trunc, _ = inner_venv.step(
                 sk, state, act, params
             )
             return (obs2, state2), reward.sum()
 
-        keys = jax.random.split(key, num_steps)
         if period is None:
-            (obs_f, state_f), rsum = jax.lax.scan(body, (obs0, state0), keys)
+            (obs_f, state_f), rsum = jax.lax.scan(body, (obs0, state0), xs)
             return obs_f, state_f, rsum.sum()
 
         from apx.core.env import segmented_scan
 
-        def boundary_body(carry, k):
+        def boundary_body(carry, x):
             obs, state = carry
-            pk, sk = jax.random.split(k)
-            act = policy(pk, obs)
+            sk, act_x, pred_x = x
+            act = act_of(obs, act_x, pred_x)
             obs2, state2, reward, *_ = venv.boundary_reset_step(
                 sk, state, act, params
             )
             return (obs2, state2), reward.sum()
 
         (obs_f, state_f), rs = segmented_scan(
-            body, boundary_body, (obs0, state0), keys, period
+            body, boundary_body, (obs0, state0), xs, period
         )
         return obs_f, state_f, rs.sum()
 
+    return run, num_steps
+
+
+def bench_env(venv, params, num_steps: int, key, stats: dict | None = None) -> float:
+    """Returns env-steps/s of a jitted scan rollout with on-device random
+    actions (no host transfers in the timed region). See bench_rollout_fn
+    for the rollout's structure."""
+    run, num_steps = bench_rollout_fn(venv, params, num_steps)
+
+    n = venv.num_envs
     rk, bk, wk, sk = jax.random.split(key, 4)
     params = jax.device_put(params)
     obs0, state0, _ = jax.jit(venv.reset)(rk, params)

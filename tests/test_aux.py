@@ -276,6 +276,33 @@ def test_bench_harness_runs():
     assert bench.bench_compat("CircleSquare-v0", 4, 3) > 0
 
 
+def test_bench_policy_hoist_bitwise():
+    """The hoisted policy draws (one batched threefry pass outside the
+    scan, +20% on the LIDAR headline, PERF.md round 5) must be
+    bit-identical to the in-loop form: same per-step keys, same shapes.
+    hoist_budget=0 forces every leaf in-loop — the two rollouts must agree
+    on every output leaf, on both the plain-scan (lidar, NEXT_STEP) and
+    the episodic segmented-scan (circle_square, LOCKSTEP) paths."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    for mk, steps in ((bench.make_lidar_rooms, 7), (bench.make_circle_square, 12)):
+        venv, params, _ = mk(4)
+        key = jax.random.key(42)
+        obs0, state0, _ = jax.jit(venv.reset)(jax.random.key(1), params)
+        run_h, n_h = bench.bench_rollout_fn(venv, params, steps)
+        run_i, n_i = bench.bench_rollout_fn(venv, params, steps, hoist_budget=0)
+        assert n_h == n_i
+        out_h = run_h(key, state0, obs0, params)
+        out_i = run_i(key, state0, obs0, params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(out_h), jax.tree_util.tree_leaves(out_i)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_bench_backend_watchdog():
     """bench.py's init guard: a hung backend probe must yield a structured,
     parseable failure record within the deadline (round-3 outage produced a
