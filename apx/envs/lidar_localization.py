@@ -33,6 +33,7 @@ in TimeLimit(100, issue_termination=True) like registration.py:649-690.
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import jax
@@ -321,7 +322,7 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         return ("local", win, base)
 
     def _raycast(self, state, origin, targets, params, radius, typed=False,
-                 window=None):
+                 window=None, rho=None):
         if window is not None:
             kind, win_occ, base = window
             if kind in ("bitslab", "bitslab2d"):
@@ -333,8 +334,32 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
                         state.occ, origin, targets, geos_typing=True
                     )
                 if kind == "bitslab2d":
+                    occ2, bx, by = win_occ, base[0], base[1]
+                    if rho is not None:
+                        # STATIC sub-slice of the shared window: the cast's
+                        # segments stay within rho cells of the window
+                        # anchor (floor(old pos)), so valid candidates can
+                        # only appear at window indices
+                        # [half - rho - 1, half + rho] per axis — including
+                        # the exact face-touch cases (a == b == 1 requires
+                        # the segment endpoint exactly ON the excluded
+                        # cell's face, which the rho bound forbids: the
+                        # endpoint is <= anchor_pos + rho < the face of cell
+                        # anchor + rho + 1, and >= anchor_pos - rho > the
+                        # face of cell anchor - rho - 2). Every excluded
+                        # cell fails a <= b identically, so the min — and
+                        # the bitwise result — is unchanged; the movement
+                        # casts drop from 256 to 36 lattice cells, the beam
+                        # scan from 256 to 196 (round-5 profile A/B in
+                        # PERF.md).
+                        half = params.win_size // 2 - 1
+                        lo = max(half - rho - 1, 0)
+                        hi = min(half + rho + 1, params.win_size)
+                        occ2 = win_occ[lo:hi, lo:hi]
+                        bx = bx + lo
+                        by = by + lo
                     return raycast_grid_bitslab2d(
-                        win_occ, base[0], base[1], origin, targets
+                        occ2, bx, by, origin, targets
                     )
                 return raycast_grid_bitslab(win_occ, base, origin, targets)
             return raycast_grid(
@@ -381,9 +406,14 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
                 # typed bitslab scans fall through to dense anyway — don't
                 # build an unused window inside the (cond-gated) reset path.
                 window = self._make_window(state, params)
+            # The window anchor is floor(pos) of the PRE-move state (the
+            # scan position is within 1.0 of it) and beams reach
+            # lidar_range, so the cast's slack around the anchor is
+            # range + 1 cells.
             dist, _ = self._raycast(
                 state, state.pos, state.pos + dirs, params, params.ray_pad,
                 typed=typed, window=window,
+                rho=int(math.ceil(params.lidar_range)) + 1,
             )
         # The dynamic-map channel is a DERIVED obs entry (see
         # obs_derived_from_state): the vector layer appends it once per
@@ -477,7 +507,7 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         # segments have length <= 1, so radius 2 windows suffice.
         d2w, _ = self._raycast(
             state, state.pos, (state.pos + a)[None, :], params, 2,
-            window=window,
+            window=window, rho=2,
         )
         d2w = d2w[0]
         pos1 = state.pos + direction * d2w
@@ -495,7 +525,7 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         cand_diag = jnp.where(n_keep == 2, rem_vec, jnp.full((2,), v_single))
         cand = jnp.eye(2, dtype=jnp.float32) * cand_diag  # (2, 2) candidate moves
         cand_dist, _ = self._raycast(
-            state, pos1, pos1 + cand, params, 2, window=window
+            state, pos1, pos1 + cand, params, 2, window=window, rho=2
         )
         # Pick the surviving slide candidate. The reference indexes with a
         # data-dependent 0/1 idx; under vmap that lowers to three per-env

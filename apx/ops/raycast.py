@@ -290,29 +290,36 @@ def raycast_grid_bitslab2d(
     targets: jnp.ndarray,
     eps: float = _EPS,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fast-path slab raycast against the (16, 16) 2-D window
-    ``occ_win`` (from bitslab_window_2d) covering global rows
-    [base_y, base_y + 16) x cols [base_x, base_x + 16).
+    """Fast-path slab raycast against the (Hw, Ww) 2-D window
+    ``occ_win`` (from bitslab_window_2d, possibly statically sliced)
+    covering global rows [base_y, base_y + Hw) x cols
+    [base_x, base_x + Ww).
 
     Identical global-coordinate construction as raycast_grid_bitslab —
     per-cell f32 expressions match the dense fast path exactly, and the
     min-reduce runs over a subset of the dense lattice containing every
-    contributing cell (per-axis extent from origin <= 7 in BOTH axes
-    now), so results are BITWISE equal with 256/(H*W) of the work.
+    contributing cell, so results are BITWISE equal with Hw*Ww/(H*W) of
+    the work. Callers with a geometric bound tighter than the full
+    window pass a STATIC sub-slice: a cast whose segments stay within
+    rho cells of the window anchor can only produce valid (a <= b)
+    candidates in window indices [half-rho-1, half+rho] — exact-touch
+    boundary cases included (LIDARLocalizationEnv._raycast derivation);
+    all excluded cells fail a <= b identically, so the min is unchanged.
     """
+    hw, ww = occ_win.shape
     o = origin.astype(jnp.float32)
     d = targets.astype(jnp.float32) - o  # (R, 2)
     seg_len = jnp.linalg.norm(d, axis=-1)  # (R,)
 
-    col = base_x.astype(jnp.float32) + jnp.arange(16, dtype=jnp.float32)
-    row = base_y.astype(jnp.float32) + jnp.arange(16, dtype=jnp.float32)
+    col = base_x.astype(jnp.float32) + jnp.arange(ww, dtype=jnp.float32)
+    row = base_y.astype(jnp.float32) + jnp.arange(hw, dtype=jnp.float32)
     nx1, fx1 = _slab_axis(o[0], d[:, 0:1], col[None, :], col[None, :] + 1.0)
     ny1, fy1 = _slab_axis(o[1], d[:, 1:2], row[None, :], row[None, :] + 1.0)
 
-    nx0 = jnp.tile(jnp.maximum(nx1, 0.0), (1, 16))
-    ny0 = jnp.repeat(jnp.maximum(ny1, 0.0), 16, axis=-1)
-    fxc = jnp.tile(jnp.minimum(fx1, 1.0), (1, 16))
-    fyc = jnp.repeat(jnp.minimum(fy1, 1.0), 16, axis=-1)
+    nx0 = jnp.tile(jnp.maximum(nx1, 0.0), (1, hw))
+    ny0 = jnp.repeat(jnp.maximum(ny1, 0.0), ww, axis=-1)
+    fxc = jnp.tile(jnp.minimum(fx1, 1.0), (1, hw))
+    fyc = jnp.repeat(jnp.minimum(fy1, 1.0), ww, axis=-1)
     a = jnp.maximum(nx0, ny0)
     b = jnp.minimum(fxc, fyc)
     valid = occ_win.reshape(-1)[None] & (a <= b)

@@ -529,6 +529,74 @@ def test_bitslab_raycast_matches_dense_bitwise():
             np.testing.assert_array_equal(np.asarray(t3), np.asarray(t2))
 
 
+def test_bitslab2d_rho_slice_matches_full_window():
+    """The static rho-sub-slice of the shared bitslab2d window (round-5:
+    movement casts 256 -> 36 lattice cells, beams 256 -> 196) is bitwise
+    equal to the full-window cast: every excluded cell fails a <= b.
+    Adversarial geometry included — exact-integer origins and exact
+    full-length axis-aligned rays, the face-touch cases the derivation in
+    LIDARLocalizationEnv._raycast bounds."""
+    import jax.numpy as jnp
+
+    from apx.ops.raycast import (
+        bitslab_window_2d,
+        pack_row_halves,
+        raycast_grid_bitslab2d,
+    )
+
+    rng = np.random.default_rng(17)
+    occ = generate_rooms_map(5)
+    h, w = occ.shape
+    halves = pack_row_halves(jnp.asarray(occ))
+    free_y, free_x = np.where(~occ)
+
+    def compare(origin, targets, anchor, rho):
+        base_x = np.float32(np.floor(anchor[0]) - 7)
+        base_y = np.float32(np.floor(anchor[1]) - 7)
+        win = bitslab_window_2d(halves, jnp.int32(base_x), jnp.int32(base_y), w)
+        d_full, t_full = raycast_grid_bitslab2d(
+            win, jnp.float32(base_x), jnp.float32(base_y),
+            jnp.asarray(origin), jnp.asarray(targets),
+        )
+        lo, hi = max(6 - rho, 0), min(8 + rho, 16)
+        d_sub, t_sub = raycast_grid_bitslab2d(
+            win[lo:hi, lo:hi], jnp.float32(base_x + lo),
+            jnp.float32(base_y + lo), jnp.asarray(origin),
+            jnp.asarray(targets),
+        )
+        np.testing.assert_array_equal(np.asarray(d_sub), np.asarray(d_full))
+        np.testing.assert_array_equal(np.asarray(t_sub), np.asarray(t_full))
+
+    for _ in range(60):
+        i = rng.integers(len(free_y))
+        frac = rng.uniform(0.0, 1.0, 2).astype(np.float32)
+        if rng.random() < 0.3:
+            frac[:] = 0.0  # exact-integer position (reachable: 0.5 + 0.5)
+        anchor = np.array([free_x[i], free_y[i]], np.float32) + frac
+        # Movement-style cast: origin = anchor, |segment| <= 1, rho=2.
+        ang = rng.uniform(-np.pi, np.pi, size=3)
+        rad = rng.uniform(0.0, 1.0, size=3)
+        if rng.random() < 0.3:
+            ang[0], rad[0] = 0.0, 1.0  # exact unit axis-aligned move
+            ang[1], rad[1] = np.pi, 1.0
+        mv = np.stack([np.cos(ang) * rad, np.sin(ang) * rad], -1).astype(
+            np.float32
+        )
+        compare(anchor, anchor[None] + mv, anchor, rho=2)
+        # Beam-style cast: origin displaced <= 1 from the anchor,
+        # range-5 beams (incl. exact axis-aligned full reach), rho=6.
+        disp = rng.uniform(-1.0, 1.0, 2).astype(np.float32)
+        if rng.random() < 0.3:
+            disp[:] = np.float32([-1.0, 0.0])
+        origin = anchor + disp
+        beams = np.array(
+            [[5.0, 0.0], [-5.0, 0.0], [0.0, 5.0], [0.0, -5.0],
+             [3.53553391, 3.53553391], [-3.53553391, -3.53553391]],
+            np.float32,
+        )
+        compare(origin, origin[None] + beams, anchor, rho=6)
+
+
 def test_bitslab_env_matches_dense_bitwise():
     """Full-trajectory bitwise equality of backend='bitslab' vs the dense
     default: observations, positions and terminations never diverge (the
