@@ -214,6 +214,17 @@ class VectorAPEnv:
     env: APEnv
     num_envs: int
     autoreset: AutoResetMode = AutoResetMode.NEXT_STEP
+    # NEXT_STEP reset-and-merge placement. "cond" (default) gates the whole
+    # reset computation + state-wide mask-selects behind lax.cond — right
+    # whenever most steps reset nothing (small batches, long episodes).
+    # "always" runs the masked merge unconditionally — bitwise-identical
+    # (an all-False mask selects the step results everywhere), and faster
+    # once the batch is large enough that SOME env resets nearly every
+    # step: at N=4096 with ~100-step episodes the cond branch executes
+    # ~every step anyway, so its conditional plumbing (pass-through copies
+    # of every operand/output buffer) is pure overhead — ~2 us of the
+    # ~54 us LIDARLocRooms step (round-5 profile A/B in PERF.md).
+    reset_merge: str = struct.field(pytree_node=False, default="cond")
 
     def reset(self, key: jax.Array, params) -> tuple[Any, VectorState, dict[str, Any]]:
         keys = jax.random.split(key, self.num_envs)
@@ -341,9 +352,18 @@ class VectorAPEnv:
                 r.info,
             )
 
-        obs, new_inner, base_reward, terminated, truncated, pred_target, info = (
-            jax.lax.cond(any_reset, reset_branch, no_reset_branch)
-        )
+        if (
+            self.reset_merge == "always"
+            and self.autoreset is AutoResetMode.NEXT_STEP
+        ):
+            # Unconditional masked merge (see reset_merge field docs):
+            # identical outputs — an all-False reset_mask selects the
+            # step results in every leaf — without the cond's buffer
+            # plumbing.
+            outs = reset_branch()
+        else:
+            outs = jax.lax.cond(any_reset, reset_branch, no_reset_branch)
+        obs, new_inner, base_reward, terminated, truncated, pred_target, info = outs
         # Derived obs entries are computed ONCE from the merged state, not
         # inside both cond branches (see APEnv.obs_derived_from_state).
         obs = self._merge_derived_vec(obs, new_inner, params)
@@ -396,9 +416,14 @@ class VectorAPEnv:
 
 
 def vmap_vector_env(
-    env: APEnv, num_envs: int, autoreset: AutoResetMode = AutoResetMode.NEXT_STEP
+    env: APEnv,
+    num_envs: int,
+    autoreset: AutoResetMode = AutoResetMode.NEXT_STEP,
+    reset_merge: str = "cond",
 ) -> VectorAPEnv:
-    return VectorAPEnv(env=env, num_envs=num_envs, autoreset=autoreset)
+    return VectorAPEnv(
+        env=env, num_envs=num_envs, autoreset=autoreset, reset_merge=reset_merge
+    )
 
 
 def rollout(

@@ -22,6 +22,15 @@ class APWrapper(APEnv):
         self.env = env
 
     # ---- metadata delegation ------------------------------------------------
+    @property
+    def step_uses_rng(self) -> bool:
+        """Delegate to the inner env: a wrapper whose step_env only forwards
+        the key must not re-enable the per-step (N,)-key threefry split the
+        vector layer skips for deterministic steps (TimeLimit over LIDAR
+        was paying it for nothing — round-5 profile). Wrappers that DO
+        consume step randomness override this back to True."""
+        return self.env.step_uses_rng
+
     def default_params(self, **overrides):
         return self.env.default_params(**overrides)
 

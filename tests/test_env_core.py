@@ -408,3 +408,45 @@ def test_derived_obs_merged_outside_cond():
     assert env.obs_derived_from_state(state.inner, sp) == {}
     obs_s, _, _ = jax.jit(lambda k: venv.reset(k, sp))(key)
     assert "map" not in obs_s
+
+
+def test_reset_merge_always_bitwise():
+    """reset_merge='always' (unconditional masked merge, round 5) must be
+    bit-identical to the default cond-gated merge across episode
+    boundaries: an all-False reset mask selects the step results in every
+    leaf, so only the cond's buffer plumbing differs. Covers short
+    TimeLimit episodes so both no-reset and reset steps are exercised."""
+    import dataclasses
+
+    from apx.core.env import AutoResetMode, vmap_vector_env
+    from apx.data.floor_map import make_rooms_bank
+    from apx.envs.lidar_localization import LIDARLocalizationEnv
+    from apx.wrappers import TimeLimit
+
+    env = TimeLimit(
+        LIDARLocalizationEnv(map_bank=make_rooms_bank(num_maps=4)),
+        max_episode_steps=4,
+        issue_termination=True,
+    )
+    params = env.default_params()
+    venv_c = vmap_vector_env(env, 8, AutoResetMode.NEXT_STEP)
+    venv_a = dataclasses.replace(venv_c, reset_merge="always")
+    key = jax.random.key(9)
+    obs_c, st_c, _ = jax.jit(venv_c.reset)(key, params)
+    obs_a, st_a, _ = jax.jit(venv_a.reset)(key, params)
+    step_c = jax.jit(lambda k, s, a: venv_c.step(k, s, a, params))
+    step_a = jax.jit(lambda k, s, a: venv_a.step(k, s, a, params))
+    for t in range(11):  # crosses reset boundaries at t=4, 8
+        key, k, ka = jax.random.split(key, 3)
+        act = {
+            "action": jax.random.uniform(ka, (8, 2), minval=-1.0, maxval=1.0),
+            "prediction": jax.random.normal(jax.random.fold_in(ka, 1), (8, 2)),
+        }
+        out_c = step_c(k, st_c, act)
+        out_a = step_a(k, st_a, act)
+        obs_c, st_c, *rest_c = out_c
+        obs_a, st_a, *rest_a = out_a
+        for x, y in zip(
+            jax.tree_util.tree_leaves(out_c), jax.tree_util.tree_leaves(out_a)
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
