@@ -632,14 +632,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--env", default="lidar_rooms", choices=sorted(BENCHES))
     ap.add_argument("--num-envs", type=int, default=4096)
-    # 1024 (was 256 through round 4): the axon relay charges a FIXED
-    # ~25 ms per jit call (dispatch + completion + the scalar-fetch
-    # barrier); a 256-step lidar_rooms run is ~70 ms wall, so the fixed
-    # charge diluted measured throughput ~35% below the device-busy rate
-    # (solved from a steps={256,1024,2048} sweep, PERF.md round 4). 1024
-    # amortizes it to <8% while keeping every timed run under a second.
+    # 8192 (1024 through most of round 5, 256 through round 4): the axon
+    # relay charges a FIXED ~25 ms per jit call (dispatch + completion +
+    # the scalar-fetch barrier). Round 4 sized the run at 1024 steps when
+    # the LIDAR step was ~173 us (fixed charge <8%); round 5 cut the step
+    # to ~54 us, so the same 1024-step run was paying the charge at ~31%
+    # again — the steps={1024,4096,8192} same-process re-sweep (PERF.md
+    # round 5) measured 49.8M/66.3M/70.0M env-steps/s. 8192 amortizes the
+    # charge to ~3% (93% of the device-busy rate) while keeping every
+    # timed run under a second AND keeping the (steps, N, 2) f32
+    # policy-draw buffers within the 256 MB hoist budget at N=4096.
     # The calibration run stays at its fixed 4096x200 anchor.
-    ap.add_argument("--steps", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=8192)
     ap.add_argument("--all", action="store_true", help="print one line per env")
     ap.add_argument(
         "--profile", metavar="DIR", default=None,
@@ -887,9 +891,13 @@ def main():
         # 1. standard sweep (the cross-round comparable configuration)
         for name in sorted(BENCHES):
             run_one(name, args.num_envs, args.steps, segment="sweep")
-        # 2. batch scaling: the envs with documented N-scaling behavior
+        # 2. batch scaling: the envs with documented N-scaling behavior.
+        # Steps scale inversely with N so each timed run does the same
+        # total env-step work (constant fixed-charge amortization, and the
+        # slow tin_loc row stays ~4 s instead of ~16 s per run).
+        scaled = max(1024, args.steps * args.num_envs // 16384)
         for name in ("lidar_rooms", "mnist", "tin_loc"):
-            run_one(name, 16384, args.steps, segment="scaling")
+            run_one(name, 16384, scaled, segment="scaling")
         # 3. PRNG A/B: hardware RNG vs threefry on RNG-sensitive steps
         for name in ("circle_square", "light_dark", "lidar_rooms"):
             run_one(name, args.num_envs, args.steps, key_impl="rbg", segment="prng_ab")
@@ -932,7 +940,12 @@ def main():
     if args.compat:
         for name in names:
             try:
-                sps = bench_compat(COMPAT_IDS[name], args.num_envs, args.steps)
+                # The adapter's host loop runs ~6 vector-steps/s through the
+                # relay; cap its step count so a default --steps sweep stays
+                # minutes, not hours (per-step cost is flat after ~10 steps).
+                sps = bench_compat(
+                    COMPAT_IDS[name], args.num_envs, min(args.steps, 256)
+                )
             except Exception as e:  # noqa: BLE001 — sweep over optional ids
                 if not args.all:
                     raise
