@@ -109,7 +109,9 @@ HOIST_BUDGET_BYTES = int(
 )
 
 
-def bench_rollout_fn(venv, params, num_steps: int, hoist_budget=None):
+def bench_rollout_fn(
+    venv, params, num_steps: int, hoist_budget=None, obs_probe: str = "step"
+):
     """(run, num_steps): the jitted bench rollout
     ``run(key, state0, obs0, params) -> (obs_f, state_f, reward_sum)``.
 
@@ -182,21 +184,26 @@ def bench_rollout_fn(venv, params, num_steps: int, hoist_budget=None):
     def act_of(obs, act_x, pred_x):
         act = act_x if hoist_act else draw_act(act_x)
         pred = pred_x if hoist_pred else draw_pred(pred_x)
-        # Fold a (negligible) observation-dependent term into the action so
-        # the observation computation is provably LIVE — XLA must not be
-        # able to dead-code the obs path out of the timed loop. One element
-        # per leaf, NOT a full reduce: the round-4 profile showed a
-        # whole-obs mean costing ~50 us/step on LIDAR (~29% of the step) —
-        # measurement apparatus charged to the env. The full obs tensors
-        # stay live regardless: obs is a scan carry leaf and the rollout
-        # returns the final obs, so every step's obs must be materialized
-        # (fixed while-loop signature); the element probe preserves the
-        # action's data dependence on them at ~zero cost.
-        probe = sum(
-            jnp.reshape(leaf, (-1,))[0].astype(jnp.float32)
-            for leaf in jax.tree_util.tree_leaves(obs)
-        ) * 1e-12
-        return {"action": jnp.clip(act + probe, -1.0, 1.0), "prediction": pred}
+        if obs_probe in ("step", "leaf1"):
+            # Per-step liveness probe: one element per obs leaf (or the
+            # first leaf only, "leaf1") folded into the action. The probe's
+            # [0]-slices show as ~1.8 us/leaf ops in the profile table, but
+            # that cost is NOT additive wall time: removing the probe
+            # entirely ("none") measured 51.0M vs 70.0M env-steps/s, and
+            # "leaf1" (which keeps a probe but drops the map-channel
+            # dependence) measured the same 50.7M — the action's data
+            # dependence on the CURRENT step's 16 MB map write is
+            # load-bearing for XLA's while-body schedule (PERF.md round 5
+            # final A/B). "step" is the default and the recorded form.
+            leaves = jax.tree_util.tree_leaves(obs)
+            if obs_probe == "leaf1":
+                leaves = leaves[:1]
+            probe = sum(
+                jnp.reshape(leaf, (-1,))[0].astype(jnp.float32)
+                for leaf in leaves
+            ) * 1e-12
+            act = act + probe
+        return {"action": jnp.clip(act, -1.0, 1.0), "prediction": pred}
 
     @jax.jit
     def run(key, state0, obs0, params):
@@ -249,11 +256,18 @@ def bench_rollout_fn(venv, params, num_steps: int, hoist_budget=None):
     return run, num_steps
 
 
-def bench_env(venv, params, num_steps: int, key, stats: dict | None = None) -> float:
+def bench_env(
+    venv,
+    params,
+    num_steps: int,
+    key,
+    stats: dict | None = None,
+    obs_probe: str = "step",
+) -> float:
     """Returns env-steps/s of a jitted scan rollout with on-device random
     actions (no host transfers in the timed region). See bench_rollout_fn
     for the rollout's structure."""
-    run, num_steps = bench_rollout_fn(venv, params, num_steps)
+    run, num_steps = bench_rollout_fn(venv, params, num_steps, obs_probe=obs_probe)
 
     n = venv.num_envs
     rk, bk, wk, sk = jax.random.split(key, 4)
@@ -693,6 +707,16 @@ def main():
         "RNG-heavy steps; trajectories differ, throughput comparison only",
     )
     ap.add_argument(
+        "--obs-probe", default="step", choices=["step", "leaf1", "none"],
+        help="liveness probe form in the bench policy. 'step' (default) "
+        "folds one element per obs leaf into every step's action; its "
+        "[0]-slices look like ~1.8 us/leaf of apparatus in the profile "
+        "table but are LOAD-BEARING for the while-body schedule: 'none' "
+        "and 'leaf1' (first leaf only — drops the map-channel dependence) "
+        "both measured ~51M vs 70M env-steps/s on LIDARLocRooms (PERF.md "
+        "round 5 final A/B); kept as reproducible A/B surfaces",
+    )
+    ap.add_argument(
         "--deep", action="store_true",
         help="one-process round capture: standard sweep, batch-scaling rows "
         "(N=16384), threefry-vs-rbg A/B, compat-adapter rows — all on the "
@@ -991,9 +1015,14 @@ def main():
         stats: dict = {}
         if args.profile:
             with jax.profiler.trace(args.profile):
-                sps = bench_env(venv, params, args.steps, key)
+                sps = bench_env(
+                    venv, params, args.steps, key, obs_probe=args.obs_probe
+                )
         else:
-            sps = bench_env(venv, params, args.steps, key, stats=stats)
+            sps = bench_env(
+                venv, params, args.steps, key, stats=stats,
+                obs_probe=args.obs_probe,
+            )
         rec = {
             "metric": f"{name}_env_steps_per_s",
             "value": round(sps, 1),
@@ -1010,6 +1039,8 @@ def main():
             rec["glimpse_precision"] = args.glimpse_precision
         if args.key_impl:
             rec["key_impl"] = args.key_impl
+        if args.obs_probe != "none":
+            rec["obs_probe"] = args.obs_probe
         records.append(rec)
         print(json.dumps(rec), flush=True)
 
