@@ -45,15 +45,18 @@ from ..core.losses import LossFn
 from ..core.spaces import Box, DictSpace, Image, Space
 from ..data.floor_map import MapBank
 from ..ops.raycast import (
+    beam_cell_rects,
     bitslab_window,
     bitslab_window_2d,
     extract_window_mxu,
     lidar_directions,
+    lidar_directions_np,
     lidar_table_scan,
     pad_occupancy,
     raycast_grid,
     raycast_grid_bitslab,
     raycast_grid_bitslab2d,
+    raycast_grid_bitslab2d_per_ray,
     raycast_grid_windowed,
 )
 from .common import make_regression_loss_and_target_space
@@ -111,6 +114,20 @@ class LIDARLocalizationParams(struct.PyTreeNode):
     # selectable, bitwise-equivalence-tested alternative; requires a bank
     # built with MapBank.with_beam_tables().
     use_beam_tables: bool = struct.field(pytree_node=False, default=False)
+    # Per-beam static cell rectangles for the observation scan (bitslab2d
+    # only): the 8 beam directions are compile-time constants, so each
+    # beam's reachable cells form a STATIC sub-rectangle of the window
+    # (~50-90 cells vs the 196-cell shared rho slice a range-5 cast
+    # sweeps — 2.4x fewer lattice slots, bitwise identical;
+    # raycast.beam_cell_rects' exclusion proof, pinned in test_lidar).
+    # Measured SLOWER in-env despite the work cut: 54.0M vs 70.0M
+    # env-steps/s same-process on v5e (PERF.md round 5) — the per-ray
+    # pad/stack of 8 ragged slab chains breaks the shared form's single
+    # fused lattice reduce, the same isolated-win/in-env-loss reversal as
+    # the windowed glimpse and every gather A/B. "auto" (default)
+    # therefore resolves to OFF; "on" forces the per-ray path (the
+    # reproducible A/B surface).
+    beam_rects: str = struct.field(pytree_node=False, default="auto")
 
     @property
     def windowed(self) -> bool:
@@ -322,7 +339,7 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
         return ("local", win, base)
 
     def _raycast(self, state, origin, targets, params, radius, typed=False,
-                 window=None, rho=None):
+                 window=None, rho=None, ray_rects=None):
         if window is not None:
             kind, win_occ, base = window
             if kind in ("bitslab", "bitslab2d"):
@@ -335,6 +352,14 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
                     )
                 if kind == "bitslab2d":
                     occ2, bx, by = win_occ, base[0], base[1]
+                    if ray_rects is not None:
+                        # STATIC per-ray rectangles (beams only — their
+                        # directions are compile-time constants). Slices
+                        # the FULL window so the per-axis base+iota sums
+                        # are identical to the shared form's.
+                        return raycast_grid_bitslab2d_per_ray(
+                            occ2, bx, by, origin, targets, ray_rects
+                        )
                     if rho is not None:
                         # STATIC sub-slice of the shared window: the cast's
                         # segments stay within rho cells of the window
@@ -410,10 +435,32 @@ class LIDARLocalizationEnv(APEnv[LIDARLocalizationParams, LIDARLocalizationState
             # scan position is within 1.0 of it) and beams reach
             # lidar_range, so the cast's slack around the anchor is
             # range + 1 cells.
+            ray_rects = None
+            if (
+                not typed
+                and params.beam_rects == "on"
+                and params.use_bitslab2d
+                and window is not None
+                and window[0] == "bitslab2d"
+            ):
+                # Origin window-coords span [half-1, half+2] CLOSED: the
+                # anchor is floor(pre-move pos) at index half, the scan
+                # position is within 1.0 of the pre-move pos per axis,
+                # and wall-slides can land exactly on cell faces.
+                import numpy as np
+
+                half = params.win_size // 2 - 1
+                offs = lidar_directions_np(
+                    params.lidar_beam_count
+                ) * np.float32(params.lidar_range)
+                ray_rects = beam_cell_rects(
+                    offs, params.win_size, half - 1.0, half + 2.0
+                )
             dist, _ = self._raycast(
                 state, state.pos, state.pos + dirs, params, params.ray_pad,
                 typed=typed, window=window,
                 rho=int(math.ceil(params.lidar_range)) + 1,
+                ray_rects=ray_rects,
             )
         # The dynamic-map channel is a DERIVED obs entry (see
         # obs_derived_from_state): the vector layer appends it once per

@@ -60,13 +60,21 @@ __all__ = [
 _EPS = 1e-3
 
 
-def lidar_directions(beam_count: int) -> jnp.ndarray:
-    """(B, 2) unit beam directions at angles linspace(-pi, pi, B, endpoint
-    =False), matching lidar_localization2d.py:181-187."""
+def lidar_directions_np(beam_count: int):
+    """Numpy twin of lidar_directions — the HOST-side constant the static
+    beam_cell_rects derivation reads (inside jit the jnp product
+    ``lidar_directions(B) * range`` is a tracer; the rect bounds must come
+    from the concrete f32 values)."""
     import numpy as np
 
     ang = np.linspace(-np.pi, np.pi, beam_count, dtype=np.float32, endpoint=False)
-    return jnp.asarray(np.stack([np.cos(ang), np.sin(ang)], axis=-1))
+    return np.stack([np.cos(ang), np.sin(ang)], axis=-1)
+
+
+def lidar_directions(beam_count: int) -> jnp.ndarray:
+    """(B, 2) unit beam directions at angles linspace(-pi, pi, B, endpoint
+    =False), matching lidar_localization2d.py:181-187."""
+    return jnp.asarray(lidar_directions_np(beam_count))
 
 
 def _slab_axis(o, d, lo, hi):
@@ -370,6 +378,107 @@ def raycast_grid_bitslab(
     a = jnp.maximum(nx0, ny0)
     b = jnp.minimum(fxc, fyc)
     valid = occ_win.reshape(-1)[None] & (a <= b)
+    t_hit = jnp.min(jnp.where(valid, a, jnp.inf), axis=-1)  # (R,)
+    hit = jnp.isfinite(t_hit)
+    dist = jnp.where(
+        hit, jnp.maximum(t_hit * seg_len - eps, 0.0), seg_len
+    ).astype(jnp.float32)
+    return dist, t_hit
+
+
+def beam_cell_rects(
+    offsets, win_size: int, o_lo: float, o_hi: float
+) -> tuple[tuple[int, int, int, int], ...]:
+    """Static per-ray window rectangles ((x0, x1, y0, y1), ...) — in
+    window-lattice indices [0, win_size) — containing every cell a cast
+    from any origin in window coords [o_lo, o_hi]^2 (CLOSED interval;
+    wall-slides can land exactly on cell faces) along the STATIC f32
+    displacement ``offsets[r]`` can validly intersect.
+
+    Derivation (per axis, x shown): segment points span
+    [o_lo + min(0, rx), o_hi + max(0, rx)] inclusive. A cell [wx, wx+1]
+    admits a valid slab interval (a <= b) only if it intersects that span
+    CLOSED — i.e. wx <= span_max and wx + 1 >= span_min. An endpoint
+    exactly ON a cell face touches both adjacent cells, so:
+    x0 = floor(span_min) - 1 (the -1 covers an integer span_min touching
+    the cell to its left) and x1 = floor(span_max) + 1 (for integer
+    span_max this includes the cell to the touch point's right; for
+    non-integer it is exact). Every excluded cell's x-slab interval is
+    strictly disjoint from the segment's x-extent, which forces
+    a > b EXACTLY in _slab_axis arithmetic (same argument as the rho
+    slice in LIDARLocalizationEnv._raycast) — so a min-reduce over only
+    these cells is BITWISE equal to the full-window reduce."""
+    import math
+
+    import numpy as np
+
+    rects = []
+    for rx, ry in np.asarray(offsets, dtype=np.float32):
+        x0 = math.floor(o_lo + min(0.0, float(rx))) - 1
+        x1 = math.floor(o_hi + max(0.0, float(rx))) + 1
+        y0 = math.floor(o_lo + min(0.0, float(ry))) - 1
+        y1 = math.floor(o_hi + max(0.0, float(ry))) + 1
+        rects.append(
+            (max(x0, 0), min(x1, win_size), max(y0, 0), min(y1, win_size))
+        )
+    return tuple(rects)
+
+
+def raycast_grid_bitslab2d_per_ray(
+    occ_win: jnp.ndarray,
+    base_x: jnp.ndarray,
+    base_y: jnp.ndarray,
+    origin: jnp.ndarray,
+    targets: jnp.ndarray,
+    rects: tuple[tuple[int, int, int, int], ...],
+    eps: float = _EPS,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """raycast_grid_bitslab2d with a STATIC per-ray cell rectangle (from
+    beam_cell_rects — only meaningful when each ray's displacement is a
+    compile-time constant, e.g. the fixed-angle lidar beams).
+
+    The shared-window form pays every ray the UNION of all rays' reaches
+    (a range-5 cast sweeps 14x14 = 196 cells after the rho slice); per-ray
+    rectangles cut that to ~50-90 cells each (~2.4x fewer lattice slots
+    after padding to the largest rect). All slab values are produced by
+    slicing per-axis arrays computed on the FULL window lattice — the
+    same ``base + iota`` f32 sums as the shared form, so every surviving
+    cell's (a, b) is bit-identical and the min is unchanged
+    (beam_cell_rects' exclusion proof; pinned in test_lidar). Padded
+    slots carry a = +inf / occ = False and never contribute.
+    """
+    hw, ww = occ_win.shape
+    o = origin.astype(jnp.float32)
+    d = targets.astype(jnp.float32) - o  # (R, 2)
+    seg_len = jnp.linalg.norm(d, axis=-1)  # (R,)
+
+    col = base_x.astype(jnp.float32) + jnp.arange(ww, dtype=jnp.float32)
+    row = base_y.astype(jnp.float32) + jnp.arange(hw, dtype=jnp.float32)
+    nx1, fx1 = _slab_axis(o[0], d[:, 0:1], col[None, :], col[None, :] + 1.0)
+    ny1, fy1 = _slab_axis(o[1], d[:, 1:2], row[None, :], row[None, :] + 1.0)
+
+    m = max((x1 - x0) * (y1 - y0) for x0, x1, y0, y1 in rects)
+    a_rows, b_rows, occ_rows = [], [], []
+    for r, (x0, x1, y0, y1) in enumerate(rects):
+        nxr = jnp.maximum(nx1[r, x0:x1], 0.0)  # (wb,)
+        fxr = jnp.minimum(fx1[r, x0:x1], 1.0)
+        nyr = jnp.maximum(ny1[r, y0:y1], 0.0)  # (hb,)
+        fyr = jnp.minimum(fy1[r, y0:y1], 1.0)
+        ar = jnp.maximum(nxr[None, :], nyr[:, None]).reshape(-1)
+        br = jnp.minimum(fxr[None, :], fyr[:, None]).reshape(-1)
+        occr = occ_win[y0:y1, x0:x1].reshape(-1)
+        pad = m - ar.shape[0]
+        if pad:
+            ar = jnp.pad(ar, (0, pad), constant_values=jnp.inf)
+            br = jnp.pad(br, (0, pad), constant_values=-jnp.inf)
+            occr = jnp.pad(occr, (0, pad), constant_values=False)
+        a_rows.append(ar)
+        b_rows.append(br)
+        occ_rows.append(occr)
+    a = jnp.stack(a_rows)  # (R, m)
+    b = jnp.stack(b_rows)
+    occv = jnp.stack(occ_rows)
+    valid = occv & (a <= b)
     t_hit = jnp.min(jnp.where(valid, a, jnp.inf), axis=-1)  # (R,)
     hit = jnp.isfinite(t_hit)
     dist = jnp.where(

@@ -734,3 +734,84 @@ def test_rooms_bank_rejects_non_square():
     for backend in ("python", "auto"):
         with pytest.raises(ValueError, match="square"):
             make_rooms_bank(num_maps=2, width=40, height=20, backend=backend)
+
+
+def test_beam_rects_matches_shared_window_bitwise():
+    """raycast_grid_bitslab2d_per_ray (static per-beam cell rectangles,
+    round 5) must be BITWISE equal to the shared-window bitslab2d reduce:
+    the excluded cells provably fail a <= b (beam_cell_rects' derivation),
+    and the surviving cells' slab values are produced by slicing per-axis
+    arrays computed on the FULL window lattice (identical base+iota f32
+    sums). Adversarial cases: exact-integer positions (wall slides land on
+    cell faces), half-integer cell centers, map-edge anchors."""
+    from apx.ops.raycast import (
+        beam_cell_rects,
+        bitslab_window_2d,
+        lidar_directions_np,
+        pack_row_halves,
+        raycast_grid_bitslab2d,
+        raycast_grid_bitslab2d_per_ray,
+    )
+
+    rng = np.random.default_rng(3)
+    dirs = lidar_directions_np(8) * np.float32(5.0)
+    rects = beam_cell_rects(dirs, 16, 6.0, 9.0)
+    # Every beam's rect must be a strict subset of the shared lattice.
+    assert max((x1 - x0) * (y1 - y0) for x0, x1, y0, y1 in rects) < 196
+    half = 7
+    for trial in range(400):
+        occ = rng.random((32, 32)) < 0.3
+        halves = pack_row_halves(jnp.asarray(occ))
+        if trial % 4 == 0:
+            pos = rng.integers(1, 30, 2).astype(np.float32)  # exact faces
+        elif trial % 4 == 1:
+            pos = rng.integers(1, 30, 2).astype(np.float32) + np.float32(0.5)
+        else:
+            pos = rng.uniform(1, 30, 2).astype(np.float32)
+        # anchor = floor(pre-move pos): pos is within 1.0 of it per axis
+        anchor = np.floor(pos) - rng.integers(-1, 2, 2)
+        bx = np.float32(anchor[0] - half)
+        by = np.float32(anchor[1] - half)
+        win = bitslab_window_2d(halves, jnp.int32(bx), jnp.int32(by), 32)
+        o = jnp.asarray(pos)
+        t = o + jnp.asarray(dirs)
+        d0, t0 = raycast_grid_bitslab2d(
+            win, jnp.float32(bx), jnp.float32(by), o, t
+        )
+        d1, t1 = raycast_grid_bitslab2d_per_ray(
+            win, jnp.float32(bx), jnp.float32(by), o, t, rects
+        )
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+def test_beam_rects_env_bitwise():
+    """beam_rects='on' (the per-ray A/B surface — it measured SLOWER
+    in-env, see the params field docs) vs the default shared window must
+    produce bit-identical vectorized trajectories across episode
+    boundaries — the whole step pipeline, not just the raycast op."""
+    import dataclasses
+
+    env = LIDARLocalizationEnv(map_bank=make_rooms_bank(num_maps=4))
+    p_off = env.default_params()
+    assert p_off.beam_rects == "auto" and p_off.use_bitslab2d
+    params = dataclasses.replace(p_off, beam_rects="on")
+    venv = vmap_vector_env(env, 16, AutoResetMode.NEXT_STEP)
+    key = jax.random.key(21)
+    obs_a, st_a, _ = jax.jit(venv.reset)(key, params)
+    obs_o, st_o, _ = jax.jit(venv.reset)(key, p_off)
+    step_a = jax.jit(lambda k, s, a: venv.step(k, s, a, params))
+    step_o = jax.jit(lambda k, s, a: venv.step(k, s, a, p_off))
+    for t in range(40):
+        key, k, ka = jax.random.split(key, 3)
+        act = {
+            "action": jax.random.uniform(ka, (16, 2), minval=-1.0, maxval=1.0),
+            "prediction": jax.random.normal(jax.random.fold_in(ka, 1), (16, 2)),
+        }
+        out_a = step_a(k, st_a, act)
+        out_o = step_o(k, st_o, act)
+        st_a, st_o = out_a[1], out_o[1]
+        for x, y in zip(
+            jax.tree_util.tree_leaves(out_a), jax.tree_util.tree_leaves(out_o)
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
