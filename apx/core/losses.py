@@ -185,7 +185,20 @@ class CrossEntropyLossFn(LossFn):
 
     def __call__(self, prediction, target):
         logp = jax.nn.log_softmax(prediction, axis=-1)
-        return -jnp.take_along_axis(logp, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        # Gather-free label pick: a one-hot select-reduce over the class
+        # axis instead of take_along_axis. The gather form lowered to a
+        # per-env kCustom gather that was the SINGLE LARGEST op in every
+        # classification env's step (~39 us/step at N=4096 — more than the
+        # glimpse einsum it sat next to; round-5 profile + A/B in PERF.md),
+        # the same in-scan serialization as every other measured gather.
+        # The select-reduce adds exact zeros around the picked value, so
+        # results are bit-identical (up to IEEE -0.0 -> +0.0 when the
+        # target's log-prob is exactly -0.0); gradients flow through the
+        # same selected element. Valid labels (0 <= t < C) are the loss
+        # contract, as in the reference (loss_fn.py:207-250).
+        t = target[..., None].astype(jnp.int32)
+        onehot = jnp.arange(logp.shape[-1], dtype=jnp.int32) == t
+        return -jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
 
     def numpy(self, prediction, target):
         import scipy.special

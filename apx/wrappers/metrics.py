@@ -112,6 +112,16 @@ class _MetricsWrapper:
         new_state = MetricsState(inner=inner2, buf=buf, count=count, prev_done=done)
         return obs, new_state, reward, term, trunc, info
 
+    @staticmethod
+    def _pick(buf_m, idx):
+        """Gather-free per-row pick: one-hot select-reduce over the ring
+        axis instead of take_along_axis — per-env gathers serialize inside
+        the step scan on TPU (the same measured verdict as the CE loss's
+        label pick, PERF.md round 5); the select-reduce fuses."""
+        L = buf_m.shape[-1]
+        onehot = jnp.arange(L, dtype=jnp.int32) == idx[:, None]
+        return jnp.sum(jnp.where(onehot, buf_m, 0.0), axis=-1)
+
     def _aggregate(self, buf, valid, count, done, params):
         nanv = jnp.float32(jnp.nan)
         denom = jnp.maximum(count, 1).astype(jnp.float32)
@@ -119,9 +129,7 @@ class _MetricsWrapper:
         for m in buf:
             v = buf[m] * valid
             avg = v.sum(axis=-1) / denom
-            final = jnp.take_along_axis(
-                buf[m], jnp.maximum(count - 1, 0)[:, None], axis=-1
-            )[:, 0]
+            final = self._pick(buf[m], jnp.maximum(count - 1, 0))
             scalar[f"avg_{m}"] = jnp.where(done, avg, nanv)
             scalar[f"_avg_{m}"] = done
             scalar[f"final_{m}"] = jnp.where(done, final, nanv)
@@ -168,7 +176,11 @@ class ClassificationMetrics(_MetricsWrapper):
         if isinstance(target, dict):
             target = target["target"]
         p = jax.nn.softmax(full_action["prediction"], axis=-1)
-        prob = jnp.take_along_axis(p, target[:, None].astype(jnp.int32), axis=-1)[:, 0]
+        onehot = (
+            jnp.arange(p.shape[-1], dtype=jnp.int32)
+            == target[:, None].astype(jnp.int32)
+        )
+        prob = jnp.sum(jnp.where(onehot, p, 0.0), axis=-1)
         return {"correct_label_prob": prob}
 
     def _extra_stats(self, buf, valid, count, done, params):
@@ -178,9 +190,7 @@ class ClassificationMetrics(_MetricsWrapper):
         is_correct = (buf["correct_label_prob"] > 1.0 / k) & valid
         acc = is_correct.sum(axis=-1) / jnp.maximum(count, 1)
         final_correct = (
-            jnp.take_along_axis(
-                buf["correct_label_prob"], jnp.maximum(count - 1, 0)[:, None], axis=-1
-            )[:, 0]
+            self._pick(buf["correct_label_prob"], jnp.maximum(count - 1, 0))
             > 1.0 / k
         )
         steps = jax.lax.broadcasted_iota(jnp.int32, (n, L), 1)
