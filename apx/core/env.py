@@ -46,6 +46,7 @@ __all__ = [
     "vmap_vector_env",
     "rollout",
     "rollout_episodic",
+    "with_autoreset",
 ]
 
 P = TypeVar("P")  # params pytree
@@ -516,6 +517,24 @@ def segmented_scan(inner_body, boundary_body, carry, keys, period, inner_unroll=
     return carry, outs
 
 
+def with_autoreset(venv, mode: AutoResetMode):
+    """``dataclasses.replace(venv, autoreset=mode)``, duck-typed through
+    vector-LEVEL wrappers (e.g. CircleSquareHideAndSeek) that hold the
+    VectorAPEnv in a ``venv`` field and delegate ``autoreset`` as a
+    property — those cannot take the field directly, so the replace
+    recurses into the held vector env instead. Lets the episodic LOCKSTEP
+    rollout (and bench) build their DISABLED inner form for wrapped
+    vector envs too."""
+    if any(f.name == "autoreset" for f in dataclasses.fields(venv)):
+        return dataclasses.replace(venv, autoreset=mode)
+    if hasattr(venv, "venv"):
+        return dataclasses.replace(venv, venv=with_autoreset(venv.venv, mode))
+    raise TypeError(
+        f"cannot set autoreset on {type(venv).__name__}: no autoreset "
+        "field and no inner 'venv' to recurse into"
+    )
+
+
 def rollout_episodic(
     venv: VectorAPEnv,
     params,
@@ -551,7 +570,7 @@ def rollout_episodic(
     segment runs without its boundary step).
     """
     assert venv.autoreset is AutoResetMode.LOCKSTEP
-    inner_venv = dataclasses.replace(venv, autoreset=AutoResetMode.DISABLED)
+    inner_venv = with_autoreset(venv, AutoResetMode.DISABLED)
     reset_key, scan_key = jax.random.split(key)
     obs0, state0, _ = venv.reset(reset_key, params)
     keys = jax.random.split(scan_key, num_steps)

@@ -52,6 +52,13 @@ class CircleSquareHideAndSeek:
     def env(self):
         return self.venv.env
 
+    @property
+    def autoreset(self):
+        """Delegated so the episodic LOCKSTEP rollout (rollout_episodic /
+        bench) recognizes the wrapped env; core.env.with_autoreset builds
+        the DISABLED inner form by replacing the held venv."""
+        return self.venv.autoreset
+
     def inner_action_space(self, params):
         return self.venv.env.inner_action_space(params)
 
@@ -108,16 +115,36 @@ class CircleSquareHideAndSeek:
             info = {**info, "prediction": {**info.get("prediction", {}), "target": ()}}
         return obs, state, info
 
+    def _inner_action(self, full_action, params):
+        if not self.mask_prediction:
+            return full_action
+        k = self.venv.env.prediction_space(params).shape[-1]
+        return {
+            "action": full_action["action"],
+            "prediction": jnp.zeros((self.num_envs, k), dtype=jnp.float32),
+        }
+
     def step(
         self, key: jax.Array, state: VectorState, full_action: dict[str, Any], params
     ):
-        if self.mask_prediction:
-            k = self.venv.env.prediction_space(params).shape[-1]
-            full_action = {
-                "action": full_action["action"],
-                "prediction": jnp.zeros((self.num_envs, k), dtype=jnp.float32),
-            }
+        full_action = self._inner_action(full_action, params)
         obs, state2, reward, term, trunc, info = self.venv.step(
+            key, state, full_action, params
+        )
+        reward, info = self._augment(params, obs, reward, info)
+        return obs, state2, reward, term, trunc, info
+
+    def boundary_reset_step(
+        self, key: jax.Array, state: VectorState, full_action: dict[str, Any], params
+    ):
+        """LOCKSTEP boundary step (see VectorAPEnv.boundary_reset_step):
+        delegate, then apply the same augmentation as step() — the
+        reference computes the additional reward from the NEW episode's
+        object and glimpse position on reset steps too (module docstring),
+        which is exactly what augmenting the post-reset obs/info does.
+        Bitwise-pinned vs scanning step() in tests/test_registry.py."""
+        full_action = self._inner_action(full_action, params)
+        obs, state2, reward, term, trunc, info = self.venv.boundary_reset_step(
             key, state, full_action, params
         )
         reward, info = self._augment(params, obs, reward, info)

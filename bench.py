@@ -131,9 +131,7 @@ def bench_rollout_fn(
     (pinned in test_aux); the scan reads back 64 KB/step of pre-drawn
     randoms instead. Buffers above ``hoist_budget`` bytes keep that leaf's
     draw in-loop (still bit-identical — each leaf has its own key)."""
-    import dataclasses
-
-    from apx.core.env import AutoResetMode
+    from apx.core.env import AutoResetMode, with_autoreset
 
     if hoist_budget is None:
         hoist_budget = HOIST_BUDGET_BYTES
@@ -150,9 +148,7 @@ def bench_rollout_fn(
     )
 
     inner_venv = (
-        dataclasses.replace(venv, autoreset=AutoResetMode.DISABLED)
-        if period
-        else venv
+        with_autoreset(venv, AutoResetMode.DISABLED) if period else venv
     )
     if period is not None:
         # Each timed run chains the previous run's final state, so every
@@ -390,6 +386,19 @@ def make_lidar_maze(num_envs: int):
     return venv, params, 1_000_000.0
 
 
+def make_hide_and_seek(num_envs: int):
+    """CircleSquareHideAndSeek: the classification engine plus the
+    vector-level distance-reward wrapper (the one env family the sweep
+    previously lacked). Baseline stand-in: the reference's best
+    CircleSquare CPU rate (2,200 env-steps/s) — HideAndSeek wraps that
+    same reference env with extra per-step host math, so its true CPU
+    rate is at most that (favorable-to-reference denominator)."""
+    import apx
+
+    venv, params = apx.make_vec("CircleSquareHideAndSeek-v0", num_envs=num_envs)
+    return venv, params, 2200.0
+
+
 def make_mnist(num_envs: int, bank_points: int | None = None):
     """MNIST 5x5-glimpse classification (synthetic bank when the HF cache
     is absent; identical shapes/compute either way). bank_points=60000
@@ -448,6 +457,7 @@ def make_cifar10(num_envs: int, bank_points: int | None = None):
 # the reference's own SyncVectorEnv numbers.
 COMPAT_IDS = {
     "circle_square": "CircleSquare-v0",
+    "hide_and_seek": "CircleSquareHideAndSeek-v0",
     "light_dark": "LightDark-v0",
     "mnist": "MNIST-v0",
     "cifar10": "CIFAR10-v0",
@@ -543,6 +553,7 @@ def bench_compat(env_id: str, num_envs: int, num_steps: int) -> float:
 
 BENCHES = {
     "circle_square": make_circle_square,
+    "hide_and_seek": make_hide_and_seek,
     "light_dark": make_light_dark,
     "mnist": make_mnist,
     "cifar10": make_cifar10,

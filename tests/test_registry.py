@@ -167,3 +167,50 @@ def test_sparse_variant_reward_gating():
     assert done.all()  # step_limit 16, zero actions -> lockstep done
     # Terminal step: zero-logit CE loss (normalized = 1) now counts.
     np.testing.assert_allclose(np.asarray(r), -1.0, atol=1e-5)
+
+
+def test_hide_and_seek_episodic_rollout_matches_scan():
+    """The HideAndSeek wrapper now exposes autoreset/boundary_reset_step so
+    the episodic LOCKSTEP rollout (the fast bench path) runs through it:
+    states/obs/dones must be bitwise equal to scanning wrapper.step, and
+    rewards equal to the same 1-ulp fusion tolerance the inner-env pin
+    uses (test_env_core). Covers both prediction modes."""
+    import numpy as np
+
+    from apx.core.env import rollout, rollout_episodic
+
+    for env_id in ("CircleSquareHideAndSeek-v0", "CircleSquareHideAndSeekNoPrediction-v0"):
+        venv, params = apx.make_vec(env_id, num_envs=6)
+        n = 6
+        k_inner = venv.env.prediction_space(params).shape[-1]
+
+        def policy(pk, obs):
+            ka, kp = jax.random.split(pk)
+            return {
+                "action": jax.random.uniform(ka, (n, 2), minval=-1, maxval=1),
+                "prediction": jax.random.normal(kp, (n, k_inner)),
+            }
+
+        key = jax.random.PRNGKey(31)
+        period = int(params.step_limit)
+        num_steps = 2 * (period + 1) + 3
+        obs_a, st_a, (r_a, te_a, tr_a) = jax.jit(
+            lambda k: rollout(venv, params, policy, k, num_steps)
+        )(key)
+        obs_b, st_b, (r_b, te_b, tr_b) = jax.jit(
+            lambda k: rollout_episodic(venv, params, policy, k, num_steps, period)
+        )(key)
+        # Rewards: the wrapper ADDS sign*||glimpse_pos - obj||, so the two
+        # forms' fusion reassociation drift compounds loss + distance — a
+        # couple of ulps at ~1-magnitude (measured max 1.2e-7 abs), vs the
+        # inner pin's 1 ulp. States/obs/dones below stay BITWISE.
+        np.testing.assert_allclose(
+            np.asarray(r_a), np.asarray(r_b), rtol=5e-6, atol=3e-7
+        )
+        np.testing.assert_array_equal(np.asarray(te_a), np.asarray(te_b))
+        np.testing.assert_array_equal(np.asarray(tr_a), np.asarray(tr_b))
+        for la, lb in zip(
+            jax.tree_util.tree_leaves((obs_a, st_a)),
+            jax.tree_util.tree_leaves((obs_b, st_b)),
+        ):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
