@@ -63,6 +63,13 @@ class _MetricsWrapper:
     def env(self):
         return self.venv.env
 
+    @property
+    def autoreset(self):
+        """Delegated so the episodic LOCKSTEP rollout recognizes
+        metrics-wrapped envs (core.env.with_autoreset recurses the
+        DISABLED-inner replace through the `venv` field)."""
+        return self.venv.autoreset
+
     def _metric_names(self) -> tuple[str, ...]:
         raise NotImplementedError
 
@@ -85,9 +92,23 @@ class _MetricsWrapper:
         return obs, state, info
 
     def step(self, key: jax.Array, state: MetricsState, full_action, params):
-        obs, inner2, reward, term, trunc, info = self.venv.step(
-            key, state.inner, full_action, params
-        )
+        out = self.venv.step(key, state.inner, full_action, params)
+        return self._book(state, out, full_action, params)
+
+    def boundary_reset_step(
+        self, key: jax.Array, state: MetricsState, full_action, params
+    ):
+        """LOCKSTEP boundary step (see VectorAPEnv.boundary_reset_step):
+        the bookkeeping is already mask-based — at a boundary prev_done is
+        all True, so _book clears the ring without recording, exactly the
+        reference's clear-then-skip autoreset behavior (module docstring).
+        Lets metrics-wrapped envs ride the episodic rollout; pinned
+        episodic-vs-scan in test_registry."""
+        out = self.venv.boundary_reset_step(key, state.inner, full_action, params)
+        return self._book(state, out, full_action, params)
+
+    def _book(self, state: MetricsState, out, full_action, params):
+        obs, inner2, reward, term, trunc, info = out
         n, L = self.venv.num_envs, self.buffer_len
         vals = self._step_metrics(full_action, info, params)
 

@@ -214,3 +214,45 @@ def test_hide_and_seek_episodic_rollout_matches_scan():
             jax.tree_util.tree_leaves((obs_b, st_b)),
         ):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_metrics_wrapper_episodic_rollout_matches_scan():
+    """Metrics-wrapped LOCKSTEP envs must ride the episodic rollout with
+    identical results to scanning wrapper.step: the ring-buffer
+    bookkeeping is mask-based, so the boundary step (prev_done all True)
+    clears without recording exactly like the cond-ful step's autoreset
+    branch. States/obs/dones/stats bitwise; rewards to the documented
+    ulp tolerance."""
+    import numpy as np
+
+    from apx.core.env import rollout, rollout_episodic
+
+    venv, params = apx.make_vec("CircleSquare-s15-v0", num_envs=6, metrics=True)
+    n = 6
+
+    def policy(pk, obs):
+        ka, kp = jax.random.split(pk)
+        return {
+            "action": jax.random.uniform(ka, (n, 2), minval=-1, maxval=1),
+            "prediction": jax.random.normal(kp, (n, 2)),
+        }
+
+    key = jax.random.PRNGKey(37)
+    period = int(params.step_limit)
+    num_steps = 2 * (period + 1) + 2
+    obs_a, st_a, (r_a, te_a, tr_a) = jax.jit(
+        lambda k: rollout(venv, params, policy, k, num_steps)
+    )(key)
+    obs_b, st_b, (r_b, te_b, tr_b) = jax.jit(
+        lambda k: rollout_episodic(venv, params, policy, k, num_steps, period)
+    )(key)
+    np.testing.assert_allclose(
+        np.asarray(r_a), np.asarray(r_b), rtol=3e-7, atol=1e-8
+    )
+    np.testing.assert_array_equal(np.asarray(te_a), np.asarray(te_b))
+    np.testing.assert_array_equal(np.asarray(tr_a), np.asarray(tr_b))
+    for la, lb in zip(
+        jax.tree_util.tree_leaves((obs_a, st_a)),
+        jax.tree_util.tree_leaves((obs_b, st_b)),
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
