@@ -82,6 +82,16 @@ class APEnv(Generic[P, S]):
     # the vector layer skips n per-step key splits.
     step_uses_rng: bool = True
 
+    # Envs whose reset_env performs NO dataset/map gathers (LightDark) set
+    # this True: the NEXT_STEP vector layer then resolves
+    # reset_merge="auto" to the UNCONDITIONAL masked merge, which is
+    # bitwise-identical to the lax.cond gate and skips its pass-through
+    # buffer plumbing. Measured +28% on LightDark (134 -> 172M
+    # env-steps/s). Envs whose reset gathers from banks keep the cond —
+    # inlining those gathers into the while body serializes them against
+    # step compute, measured 7.2x WORSE on LIDAR (PERF.md round 5).
+    reset_prefers_merge: bool = False
+
     # ---- static metadata -------------------------------------------------
     def default_params(self, **overrides) -> P:
         raise NotImplementedError
@@ -215,17 +225,17 @@ class VectorAPEnv:
     env: APEnv
     num_envs: int
     autoreset: AutoResetMode = AutoResetMode.NEXT_STEP
-    # NEXT_STEP reset-and-merge placement. "cond" (default) gates the whole
-    # reset computation + state-wide mask-selects behind lax.cond — right
-    # whenever most steps reset nothing (small batches, long episodes).
-    # "always" runs the masked merge unconditionally — bitwise-identical
-    # (an all-False mask selects the step results everywhere), and faster
-    # once the batch is large enough that SOME env resets nearly every
-    # step: at N=4096 with ~100-step episodes the cond branch executes
-    # ~every step anyway, so its conditional plumbing (pass-through copies
-    # of every operand/output buffer) is pure overhead — ~2 us of the
-    # ~54 us LIDARLocRooms step (round-5 profile A/B in PERF.md).
-    reset_merge: str = struct.field(pytree_node=False, default="cond")
+    # NEXT_STEP reset-and-merge placement. "cond" gates the whole reset
+    # computation + state-wide mask-selects behind lax.cond; "always" runs
+    # the masked merge unconditionally — bitwise-identical (an all-False
+    # mask selects the step results everywhere). Which wins is set by what
+    # the reset DOES (round-5 A/Bs in PERF.md): LIDAR's bank/map gathers
+    # inlined into the while body serialize against step compute (7.2x
+    # WORSE merged), while LightDark's gather-free reset pays only the
+    # cond's pass-through buffer plumbing (~42% of its step; +28% merged,
+    # 134 -> 172M env-steps/s). "auto" (default) resolves via the env's
+    # reset_prefers_merge declaration.
+    reset_merge: str = struct.field(pytree_node=False, default="auto")
 
     def reset(self, key: jax.Array, params) -> tuple[Any, VectorState, dict[str, Any]]:
         keys = jax.random.split(key, self.num_envs)
@@ -353,10 +363,10 @@ class VectorAPEnv:
                 r.info,
             )
 
-        if (
-            self.reset_merge == "always"
-            and self.autoreset is AutoResetMode.NEXT_STEP
-        ):
+        merge_always = self.reset_merge == "always" or (
+            self.reset_merge == "auto" and self.env.reset_prefers_merge
+        )
+        if merge_always and self.autoreset is AutoResetMode.NEXT_STEP:
             # Unconditional masked merge (see reset_merge field docs):
             # identical outputs — an all-False reset_mask selects the
             # step results in every leaf — without the cond's buffer
@@ -420,7 +430,7 @@ def vmap_vector_env(
     env: APEnv,
     num_envs: int,
     autoreset: AutoResetMode = AutoResetMode.NEXT_STEP,
-    reset_merge: str = "cond",
+    reset_merge: str = "auto",
 ) -> VectorAPEnv:
     return VectorAPEnv(
         env=env, num_envs=num_envs, autoreset=autoreset, reset_merge=reset_merge

@@ -48,6 +48,13 @@ def obs_std(pos: jax.Array, params: LightDarkParams) -> jax.Array:
 
 
 class LightDarkEnv(APEnv[LightDarkParams, LightDarkState]):
+    # reset_env only draws the start position and target — no dataset/map
+    # gathers — so the NEXT_STEP vector layer's unconditional masked merge
+    # beats the lax.cond gate here (+28%, 134 -> 172M env-steps/s at
+    # N=4096; the cond's pass-through plumbing was ~42% of this tiny
+    # step). See APEnv.reset_prefers_merge / PERF.md round 5.
+    reset_prefers_merge: bool = True
+
     def default_params(self, **overrides) -> LightDarkParams:
         return LightDarkParams(**overrides)
 

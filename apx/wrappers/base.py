@@ -31,6 +31,16 @@ class APWrapper(APEnv):
         consume step randomness override this back to True."""
         return self.env.step_uses_rng
 
+    @property
+    def reset_prefers_merge(self) -> bool:
+        """Delegate to the inner env (see APEnv.reset_prefers_merge): the
+        standard wrappers add no dataset/map gathers to reset_env, so a
+        gather-free inner reset stays merge-preferring through them
+        (TimeLimit over LightDark keeps the +28% unconditional-merge win).
+        A wrapper that DOES gather on reset overrides this back to
+        False."""
+        return self.env.reset_prefers_merge
+
     def default_params(self, **overrides):
         return self.env.default_params(**overrides)
 

@@ -450,3 +450,47 @@ def test_reset_merge_always_bitwise():
             jax.tree_util.tree_leaves(out_c), jax.tree_util.tree_leaves(out_a)
         ):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_reset_merge_auto_resolves_by_env_preference():
+    """reset_merge='auto' (the default) resolves per the env's
+    reset_prefers_merge declaration: LightDark (gather-free reset) takes
+    the unconditional masked merge, LIDAR (bank/map gathers on reset)
+    keeps the lax.cond — and on LightDark the merged form must be
+    bit-identical to a forced cond across episode boundaries."""
+    import dataclasses
+
+    from apx.core.env import AutoResetMode, vmap_vector_env
+    from apx.envs.light_dark import LightDarkEnv
+    from apx.wrappers import TimeLimit
+
+    env = TimeLimit(LightDarkEnv(), max_episode_steps=4, issue_termination=True)
+    assert env.reset_prefers_merge  # delegated through the wrapper
+    params = env.default_params()
+    venv_auto = vmap_vector_env(env, 8, AutoResetMode.NEXT_STEP)
+    assert venv_auto.reset_merge == "auto"
+    venv_cond = dataclasses.replace(venv_auto, reset_merge="cond")
+    key = jax.random.key(13)
+    obs_a, st_a, _ = jax.jit(venv_auto.reset)(key, params)
+    obs_c, st_c, _ = jax.jit(venv_cond.reset)(key, params)
+    step_a = jax.jit(lambda k, s, a: venv_auto.step(k, s, a, params))
+    step_c = jax.jit(lambda k, s, a: venv_cond.step(k, s, a, params))
+    for t in range(11):  # crosses boundaries at t=4, 8
+        key, k, ka = jax.random.split(key, 3)
+        act = {
+            "action": jax.random.uniform(ka, (8, 2), minval=-1.0, maxval=1.0),
+            "prediction": jax.random.normal(jax.random.fold_in(ka, 1), (8, 2)),
+        }
+        out_a = step_a(k, st_a, act)
+        out_c = step_c(k, st_c, act)
+        st_a, st_c = out_a[1], out_c[1]
+        for x, y in zip(
+            jax.tree_util.tree_leaves(out_a), jax.tree_util.tree_leaves(out_c)
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # LIDAR: gathers on reset -> auto keeps the cond (the structural check
+    # is the declaration itself; the throughput verdict is in PERF.md).
+    from apx.envs.lidar_localization import LIDARLocalizationEnv
+
+    assert not LIDARLocalizationEnv.reset_prefers_merge
